@@ -1,0 +1,206 @@
+"""Golden tests ported verbatim from the reference's Go test suites.
+
+Sources:
+* crawler/text_extractor_test.go:13-44
+* crawler/link_extractor_test.go:20-210
+* crawler/crawler_integration_test.go:23-41,74-90
+"""
+
+from go_crawler_spark.functions.textops import extract_text, extract_title
+from go_crawler_spark.functions.urlops import (
+    canonicalize_url,
+    extract_links,
+    is_private_host,
+    resolve_url,
+)
+
+
+def test_content_extractor():
+    content = '<div>Some<span> text</span> example &amp; test</div>\n<buttton>Search</button>\n'
+    assert extract_title(content) == ""
+    assert extract_text(content) == "Some text example & test Search"
+
+
+def test_content_extractor_with_title():
+    content = (
+        "<html>\n<head>\n<title>Test title</title>\n</head>\n<body>\n"
+        "<div>Some<span> content</span></div>\n</body>\n</html>\n"
+    )
+    assert extract_title(content) == "Test title"
+    assert extract_text(content) == "Some content"
+
+
+# --- resolveURL goldens (link_extractor_test.go:20-79) ---------------------
+
+RESOLVE_CASES = [
+    ("/bar/baz", "http://example.com/foo/", "http://example.com/bar/baz"),
+    ("bar/baz", "http://example.com/foo/", "http://example.com/foo/bar/baz"),
+    ("./bar/baz", "http://example.com/foo/secret/", "http://example.com/foo/secret/bar/baz"),
+    ("./bar/baz", "http://example.com/foo/secret", "http://example.com/foo/bar/baz"),
+    ("../../bar/baz", "http://example.com/foo/secret/", "http://example.com/bar/baz"),
+    ("//www.somewhere.com/foo", "http://example.com/bar/secret/", "http://www.somewhere.com/foo"),
+    ("//www.somewhere.com/foo", "https://example.com/bar/secret/", "https://www.somewhere.com/foo"),
+]
+
+
+def test_resolve_url_goldens():
+    for target, base, exp in RESOLVE_CASES:
+        assert resolve_url(base, target) == exp, (target, base)
+
+
+def test_resolve_url_empty_target():
+    assert resolve_url("http://example.com/", "") is None
+
+
+# --- linkExtractor goldens (link_extractor_test.go:85-210) -----------------
+
+
+def test_link_extractor_basic():
+    content = """
+<html>
+<body>
+<a href="https://example.com"/>
+<a href="//foo.com"></a>
+<a href="/absolute/link"></a>
+<!-- the following link should be included in the no follow link list -->
+<a href="./local" rel="nofollow"></a>
+<!-- duplicates, even with fragments should be skipped -->
+<a href="https://example.com#important"/>
+<a href="//foo.com"></a>
+<a href="/absolute/link#some-anchor"></a>
+</body>
+</html>
+"""
+    follow, nofollow = extract_links("http://test.com", content)
+    assert sorted(follow) == [
+        "http://foo.com",
+        "http://test.com/absolute/link",
+        "https://example.com",
+    ]
+    assert nofollow == ["http://test.com/local"]
+
+
+def test_link_extractor_non_http():
+    content = '<html><body><a href="ftp://example.com">An FTP site</a></body></html>'
+    assert extract_links("http://test.com", content) == ([], [])
+
+
+def test_link_extractor_relative_to_file():
+    content = """
+<html>
+<body>
+<a href="./foo.html">link to foo</a>
+<a href="../private/data.html">login required</a>
+</body>
+</html>
+"""
+    follow, _ = extract_links("https://test.com/content/intro.html", content)
+    assert sorted(follow) == [
+        "https://test.com/content/foo.html",
+        "https://test.com/private/data.html",
+    ]
+
+
+def test_link_extractor_relative_to_dir():
+    content = """
+<html>
+<body>
+<a href="./foo.html">link to foo</a>
+<a href="../private/data.html">login required</a>
+</body>
+</html>
+"""
+    follow, _ = extract_links("https://test.com/content/", content)
+    assert sorted(follow) == [
+        "https://test.com/content/foo.html",
+        "https://test.com/private/data.html",
+    ]
+
+
+def test_link_extractor_with_base_tag():
+    content = """
+<html>
+<head>
+<base href="https://test.com/base/"/>
+</head>
+<body>
+<a href="./foo.html">link to foo</a>
+<a href="../private/data.html">login required</a>
+</body>
+</html>
+"""
+    follow, _ = extract_links("https://test.com/content/", content)
+    assert sorted(follow) == [
+        "https://test.com/base/foo.html",
+        "https://test.com/private/data.html",
+    ]
+
+
+def test_link_extractor_private_network():
+    content = """
+<html>
+<body>
+<a href="https://example.com">link to foo</a>
+<a href="http://169.254.169.254/api/credentials"/>
+</body>
+</html>
+"""
+    follow, nofollow = extract_links("https://test.com/content/", content)
+    assert follow == ["https://example.com"]
+    assert nofollow == []
+
+
+# --- integration-test page (crawler_integration_test.go:23-41) -------------
+
+SERVER_RES = """
+\t<html>
+\t<head>
+\t  <title>A title</title>
+\t  <base href="http://google.com/"/>
+\t</head>
+\t<body>
+\t  <a href="./relative">I am a link relative to base</a>
+\t  <a href="/absolute/path">I am an absolute link</a>
+\t  <a href="//images/cart.png">I am using the same URL scheme as this page</a>
+\t
+\t  <!-- Link should be added to the index but without creating an edge to it -->
+\t  <a href="ignore-me" rel="nofollow"/>
+\t  <!-- The following links should be ignored -->
+\t  <a href="file:///etc/passwd"></a>
+\t  <a href="http://169.254.169.254/api/credentials">Link-local address</a>
+\t</body>
+\t</html>"""
+
+
+def test_integration_page_extraction():
+    assert extract_title(SERVER_RES) == "A title"
+    assert extract_text(SERVER_RES) == (
+        "I am a link relative to base I am an absolute link "
+        "I am using the same URL scheme as this page Link-local address"
+    )
+    follow, nofollow = extract_links("http://127.0.0.1:9999", SERVER_RES)
+    assert sorted(follow) == [
+        "http://google.com/absolute/path",
+        "http://google.com/relative",
+    ]
+    assert nofollow == ["http://google.com/ignore-me"]
+
+
+# --- privnet (privnet.go:6-22) ---------------------------------------------
+
+
+def test_privnet():
+    assert is_private_host("169.254.169.254")
+    assert is_private_host("127.0.0.1")
+    assert is_private_host("10.1.2.3")
+    assert is_private_host("172.17.0.1")
+    assert is_private_host("192.168.1.1")
+    assert not is_private_host("8.8.8.8")
+    assert not is_private_host("example.com")
+    assert is_private_host("evil.internal", dns={"evil.internal": "10.0.0.5"})
+
+
+def test_canonicalize_url():
+    assert canonicalize_url("http://a.com/p#frag") == "http://a.com/p"
+    assert canonicalize_url("ftp://a.com/p") is None
+    assert canonicalize_url("https://a.com/p?q=1#x") == "https://a.com/p?q=1"
