@@ -1,38 +1,524 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end crawl on the reference's
+golden web; ``queries()``/``oracle_sql()`` expose every SQL-expressible
+operator from SURVEY.md §2 plus the training-data operators, checked
+against DuckDB on the driver's parquet tables at sf=0.01.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL.  Doubles are rounded to 6 decimals on
+both sides so the order-insensitive value-hash is stable.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship — the golden-web crawl, end to end
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Crawl the reference's golden 2-server web (fixtures.golden_pages)
+    through the full engine (frontier -> fetch join -> extract -> Bloom
+    novelty -> merges) and return the indexed documents joined with BFS
+    depth.  Deterministic: 2 docs, 5 frontier rows."""
+    from go_crawler_spark import fixtures, tables
+    from go_crawler_spark.crawl import Crawler, CrawlConfig
+
+    wh = tempfile.mkdtemp(prefix="gcs_entry_")
+    crawler = Crawler(
+        spark,
+        wh,
+        fixtures.golden_pages(spark),
+        CrawlConfig(max_iterations=4, bloom_buckets=4),
+    )
+    crawler.run(seed_urls=["http://srv1.test", "http://srv2.test"])
+    docs = crawler.lake.read(tables.DOCUMENTS)
+    frontier = crawler.lake.read(tables.FRONTIER)
+    return (
+        frontier.select("url", "host", "discovered_iter")
+        .join(docs.select("url", "title", "text"), "url", "left")
+        .orderBy("url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        _Q[name] = fn
+        if sql is not None:
+            _SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# -- A5/A1: grouped aggregation (pricing-summary flagship agg) --------------
+
+
+@_q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# -- J1: URL-seen novelty anti-join ------------------------------------------
+
+
+@_q(
+    "anti_join_unseen",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+    """,
+)
+def anti_join_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the J1 'never seen' novelty check shape."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# -- J1 greatest(): newest-timestamp-wins upsert ------------------------------
+
+
+@_q(
+    "merge_newest_wins",
+    """
+    SELECT user_id, event_type, max(ts) AS last_ts, count(*) AS n_events
+    FROM events GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def merge_newest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREATEST(retrieved_at)-style merge: newest timestamp per key."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.max("ts").alias("last_ts"), F.count("*").alias("n_events"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+# -- U1: union of two link lists ---------------------------------------------
+
+
+@_q(
+    "union_follow_nofollow",
+    """
+    SELECT event_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT event_id FROM events WHERE event_type = 'view'
+    ORDER BY event_id
+    """,
+)
+def union_follow_nofollow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select("event_id")
+    b = e.where(F.col("event_type") == "view").select("event_id")
+    return a.union(b).distinct().orderBy("event_id")
+
+
+# -- U2: stale-edge anti-delete ------------------------------------------------
+
+
+@_q(
+    "remove_stale",
+    """
+    SELECT event_id, event_type, ts FROM events
+    WHERE NOT (event_type = 'error' AND ts < TIMESTAMP '2024-01-10 00:00:00')
+    ORDER BY event_id
+    """,
+)
+def remove_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RemoveStaleEdges shape: delete rows matching (key, older-than)."""
+    e = _read(spark, sf_dir, "events")
+    stale = (F.col("event_type") == "error") & (
+        F.col("ts") < F.lit("2024-01-10 00:00:00").cast("timestamp")
+    )
+    return e.where(~stale).select("event_id", "event_type", "ts").orderBy("event_id")
+
+
+# -- F1: regex exclusion filter -------------------------------------------------
+
+
+@_q(
+    "filter_regex_exclusion",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE NOT regexp_matches(source, '[13579]$')
+    ORDER BY doc_id
+    """,
+)
+def filter_regex_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.where(~F.col("source").rlike("[13579]$"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+# -- F3/F9: range predicates -----------------------------------------------------
+
+
+@_q(
+    "filter_status_range",
+    """
+    SELECT event_id, value FROM events
+    WHERE value BETWEEN 50 AND 150 AND event_type IN ('purchase', 'click')
+    ORDER BY event_id
+    """,
+)
+def filter_status_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.where(
+            F.col("value").between(50, 150)
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .select("event_id", "value")
+        .orderBy("event_id")
+    )
+
+
+# -- O1: ranked top-k with offset --------------------------------------------------
+
+
+@_q(
+    "topk_ranked_offset",
+    """
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 5
+    """,
+)
+def topk_ranked_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.orderBy(F.desc("n_chars"), F.col("doc_id"))
+        .select("doc_id", "n_chars")
+        .offset(5)
+        .limit(10)
+    )
+
+
+# -- F10/O2: per-key budget top-k (politeness shape) -----------------------------
+
+
+@_q(
+    "politeness_topk_per_key",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    ORDER BY user_id, event_id
+    """,
+)
+def politeness_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# -- J: star join (broadcast dims) --------------------------------------------------
+
+
+@_q(
+    "star_join_revenue",
+    """
+    SELECT n.n_name AS nation, round(sum(o.o_totalprice), 4) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("nation")
+    )
+
+
+# -- A3: SAD-style aggregate ------------------------------------------------------
+
+
+@_q(
+    "sum_abs_delta",
+    """
+    SELECT event_type, round(sum(abs(value - 100.0)), 4) AS sad
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sum_abs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PageRank convergence aggregate shape (Σ|a-b|)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.sum(F.abs(F.col("value") - 100.0)), 4).alias("sad"))
+        .orderBy("event_type")
+    )
+
+
+# -- dedup: exact ---------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact_survivors",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text ORDER BY doc_id
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+# -- text analysis: token counting ------------------------------------------------------
+
+
+@_q(
+    "token_counts",
+    """
+    SELECT doc_id,
+           length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+           length(text) AS n_chars_exact
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+")).alias("n_tokens"),
+        F.length("text").alias("n_chars_exact"),
+    ).orderBy("doc_id")
+
+
+# -- text analysis: language distribution ---------------------------------------------------
+
+
+@_q(
+    "lang_distribution",
+    """
+    SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# -- similarity: exact cosine top-k -----------------------------------------------------------
+
+
+@_q(
+    "ann_brute_force_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)::DOUBLE[]), 6) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_crawler_spark.functions.dedup import cosine_col
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        e.select(
+            "vec_id",
+            F.round(
+                cosine_col(F.col("embedding").cast("array<double>"), qlit), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+# -- windowed event-time aggregation ------------------------------------------------------------
+
+
+@_q(
+    "events_daily_rollup",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators: rows-only checks (no oracle entry)
+# ---------------------------------------------------------------------------
+
+
+@_q("crawl_golden_web")
+def crawl_golden_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine crawl of the reference golden web (iterative, stateful)."""
+    return entry(spark)
+
+
+@_q("pagerank_scores")
+def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over a user->user graph derived from events."""
+    from go_crawler_spark.graphx.pagerank import pagerank
+
+    e = _read(spark, sf_dir, "events")
+    edges = (
+        e.groupBy(
+            F.col("user_id").cast("string").alias("src"),
+            F.pmod(F.col("event_id"), F.lit(97)).cast("string").alias("dst"),
+        )
+        .count()
+        .select("src", "dst")
+    )
+    vertices = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    res = pagerank(vertices, edges, max_supersteps=50)
+    return res.scores.select("id", F.round("score", 6).alias("score")).orderBy("id")
+
+
+@_q("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over the documents table."""
+    from go_crawler_spark.functions.dedup import minhash_near_dups
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        minhash_near_dups(d, jaccard_threshold=0.5, shingle_k=3)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@_q("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_crawler_spark.functions.dedup import simhash_near_dups
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@_q("text_quality_stats")
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + language ID + fingerprint (pure Column exprs)."""
+    from go_crawler_spark.functions.textstats import with_text_stats
+
+    d = _read(spark, sf_dir, "documents")
+    return with_text_stats(d).select(
+        "doc_id",
+        "n_tokens",
+        F.round("quality_score", 6).alias("quality_score"),
+        "lang_guess",
+        "fingerprint",
+    ).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_Q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_SQL)

@@ -1,0 +1,129 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "crawl_urls_per_sec", "value": N, "unit": "urls/sec",
+   "queries": {name: seconds, ...}, "sf": ...}
+
+The headline metric is the north-star: URLs fetched+deduped per second
+through the full crawl engine (frontier -> politeness -> fetch join ->
+extract UDF -> Bloom novelty -> merges) on the deterministic synthetic
+corpus sized to the scale factor.  Remaining entries time the other
+engine operators on the driver's sf tables.
+
+Scaling evidence (N vs 4N cores) is produced by bench_scaling.py and
+recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+# pages-corpus size per scale factor (>=1e5 at sf0.1 per BASELINE.md)
+_SF_PAGES = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 120_000}
+
+
+def _sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+
+
+def _ensure_corpus(spark, n_pages: int) -> str:
+    """Deterministic synthetic pages corpus, cached as parquet."""
+    from go_crawler_spark.fixtures import synth_pages
+
+    path = os.path.join(CACHE_DIR, f"pages_n{n_pages}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth_pages(spark, n_pages, n_hosts=200, skew=0.4, out_links=10).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def bench_crawl(spark, n_pages: int) -> tuple[float, float]:
+    """Returns (elapsed_sec, urls_per_sec). urls = fetched + deduped."""
+    from go_crawler_spark.crawl import Crawler, CrawlConfig
+
+    corpus = _ensure_corpus(spark, n_pages)
+    pages = spark.read.parquet(corpus)
+    from go_crawler_spark.fixtures import seed_urls
+
+    wh = tempfile.mkdtemp(prefix="gcs_bench_wh_")
+    try:
+        cfg = CrawlConfig(
+            max_iterations=8,
+            bloom_buckets=64,
+            bloom_capacity_per_bucket=max(n_pages // 16, 1000),
+            default_host_budget=max(n_pages // 20, 500),
+            salt_buckets=16,
+        )
+        crawler = Crawler(spark, wh, pages, cfg)
+        t0 = time.time()
+        metrics = crawler.run(seed_urls=seed_urls(n_pages, 200, 0.4, n_seeds=16))
+        elapsed = time.time() - t0
+        processed = sum(m["fetched"] + m["new_urls"] for m in metrics)
+        return elapsed, processed / elapsed if elapsed > 0 else 0.0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def main() -> None:
+    t_start = time.time()
+    from go_crawler_spark.session import get_spark
+
+    spark = get_spark("gcs-bench", cpus=CPUS, shuffle_partitions=max(CPUS, 16))
+    import __spark_entry__ as entry_mod
+
+    sf = _sf_name()
+    n_pages = _SF_PAGES.get(sf, 120_000)
+    qtimes: dict[str, float] = {}
+
+    # headline: full crawl
+    crawl_elapsed, urls_per_sec = bench_crawl(spark, n_pages)
+    qtimes["crawl_full"] = round(crawl_elapsed, 3)
+
+    # engine operators on driver tables
+    bench_queries = [
+        "agg_pricing_summary",
+        "star_join_revenue",
+        "anti_join_unseen",
+        "politeness_topk_per_key",
+        "events_daily_rollup",
+        "token_counts",
+        "dedup_exact_survivors",
+        "dedup_minhash_pairs",
+        "ann_brute_force_topk",
+        "text_quality_stats",
+        "pagerank_scores",
+    ]
+    qs = entry_mod.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "crawl_urls_per_sec",
+        "value": round(urls_per_sec, 2),
+        "unit": "urls/sec",
+        "queries": qtimes,
+        "sf": sf,
+        "n_pages": n_pages,
+        "cpus": CPUS,
+        "total_bench_sec": round(time.time() - t_start, 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,388 @@
+"""The crawl driver: iterative BFS over snapshot tables, checkpoint/resume.
+
+One iteration == one reference "crawl pass" (service/crawler/crawler.go:
+131-183), re-expressed as a declarative DataFrame plan:
+
+    read frontier -> due filter (F9) -> politeness top-k per host (salted)
+    -> robots filter -> prefetch guards (F1/F2) -> fetch join vs pages
+    (F3/F4) -> pandas-UDF extract (X1-X5, F5-F8) -> explode links
+    -> Bloom+anti-join novelty (J1) -> MERGE frontier / edges (J2, U2)
+    -> MERGE documents (S7) -> update Bloom -> checkpoint iteration
+
+The "broadcast to two sinks" stage of the reference (pipeline/runners/
+broadcast.go, graph-updater ∥ text-indexer) becomes persist()-once,
+write-three-times (frontier merge, edges merge, documents merge).
+
+Checkpoint/resume: after every iteration a record with the snapshot id of
+every table plus metrics is appended to ``crawl_state.jsonl``.  A killed
+job restarts with ``resume=True``: the driver pins all tables back to the
+last *complete* iteration's snapshots and continues — partially-written
+snapshots are unreachable garbage, never visible state.
+
+Run via spark-submit:  ``spark-submit --py-files gcs.zip -m`` equivalent:
+    python -m go_crawler_spark.crawl --warehouse /tmp/wh --pages <parquet>
+           --seeds http://host0.test/p/0 [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from go_crawler_spark import tables
+from go_crawler_spark.functions import urlops
+from go_crawler_spark.functions.textops import udf_extract_page
+from go_crawler_spark.lakehouse import Lakehouse, TableSpec
+from go_crawler_spark.operators import seen as seen_ops
+from go_crawler_spark.operators.fetch import fetch_join, prefetch_filter
+from go_crawler_spark.operators.frontier import due_filter, politeness_select, robots_filter
+
+BLOOM_TABLE = TableSpec("bloom", seen_ops.BLOOM_SCHEMA)
+STATE_FILE = "crawl_state.jsonl"
+
+
+@dataclass
+class CrawlConfig:
+    reindex_threshold_days: float = 7.0  # reference default, main.go:76
+    default_host_budget: int = 1_000_000  # effectively unbounded unless set
+    salt_buckets: int = 16
+    max_urls_per_iter: int | None = None
+    max_iterations: int = 50
+    bloom_buckets: int = 64
+    bloom_capacity_per_bucket: int = 100_000
+    bloom_fpp: float = 0.01
+    use_bloom: bool = True
+    seed_priority: float = 1.0
+    # child priority = parent_depth decay (priority-ordered frontier)
+    priority_decay: float = 0.5
+    extra: dict = field(default_factory=dict)
+
+
+def _now() -> datetime:
+    return datetime.now(timezone.utc)
+
+
+def _with_url_cols(df: DataFrame) -> DataFrame:
+    return df.withColumn("url_hash", urlops.url_hash_col("url")).withColumn(
+        "host", urlops.host_col("url")
+    )
+
+
+def prepare_pages(pages: DataFrame) -> DataFrame:
+    """Attach the join key; ensure optional filter columns exist."""
+    cols = pages.columns
+    if "status" not in cols:
+        pages = pages.withColumn("status", F.lit(200))
+    if "content_type" not in cols:
+        pages = pages.withColumn("content_type", F.lit("text/html"))
+    return pages.withColumn("url_hash", urlops.url_hash_col("url"))
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        pages: DataFrame,
+        config: CrawlConfig | None = None,
+        host_budgets: DataFrame | None = None,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.lake = Lakehouse(spark, warehouse)
+        self.pages = prepare_pages(pages)
+        self.cfg = config or CrawlConfig()
+        self.host_budgets = host_budgets
+        self.robots = robots
+        self.state_path = os.path.join(warehouse, STATE_FILE)
+        self.metrics: list[dict] = []
+
+    # -- state / checkpointing ----------------------------------------------
+
+    def _append_state(self, record: dict) -> None:
+        with open(self.state_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def _load_state(self) -> list[dict]:
+        if not os.path.exists(self.state_path):
+            return []
+        with open(self.state_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _checkpoint(self, iteration: int, snaps: dict[str, str], metrics: dict) -> None:
+        self._append_state(
+            {
+                "iteration": iteration,
+                "status": "complete",
+                "snapshots": snaps,
+                "metrics": metrics,
+                "ts": time.time(),
+            }
+        )
+
+    def resume_point(self) -> dict | None:
+        complete = [r for r in self._load_state() if r["status"] == "complete"]
+        return complete[-1] if complete else None
+
+    def _pin_snapshots(self, record: dict) -> None:
+        for name, snap in record["snapshots"].items():
+            self.lake.set_current_snapshot(name, snap)
+
+    # -- seeding --------------------------------------------------------------
+
+    def seed(self, seed_urls: list[str]) -> None:
+        """Iteration 0: canonicalize seeds (X8) and initialize all tables."""
+        canon = [u for u in (urlops.canonicalize_url(s) for s in seed_urls) if u]
+        seeds = _with_url_cols(
+            self.spark.createDataFrame([(u,) for u in canon], "url string")
+        ).select(
+            "url_hash",
+            "url",
+            "host",
+            F.lit(self.cfg.seed_priority).alias("priority"),
+            F.lit(0).alias("discovered_iter"),
+            F.lit(None).cast("timestamp").alias("retrieved_at"),
+            F.lit(None).cast("timestamp").alias("last_attempt"),
+        ).dropDuplicates(["url_hash"])
+
+        snaps = {
+            "frontier": self.lake.overwrite(tables.FRONTIER, seeds),
+            "edges": self.lake.overwrite(
+                tables.EDGES, self.spark.createDataFrame([], tables.EDGES.schema)
+            ),
+            "documents": self.lake.overwrite(
+                tables.DOCUMENTS,
+                self.spark.createDataFrame([], tables.DOCUMENTS.schema),
+            ),
+        }
+        bloom = seen_ops.empty_bloom(
+            self.spark, self.cfg.bloom_buckets, self.cfg.bloom_capacity_per_bucket,
+            self.cfg.bloom_fpp,
+        )
+        bloom = seen_ops.update_bloom(bloom, seeds, self.cfg.bloom_buckets)
+        snaps["bloom"] = self.lake.overwrite(BLOOM_TABLE, bloom)
+        self._checkpoint(0, snaps, {"seeds": len(canon)})
+
+    # -- one iteration ---------------------------------------------------------
+
+    def run_iteration(self, iteration: int, run_start: datetime) -> dict:
+        cfg = self.cfg
+        pass_ts = _now()
+        t0 = time.time()
+        frontier = self.lake.read(tables.FRONTIER)
+
+        due = due_filter(frontier, pass_ts, cfg.reindex_threshold_days).where(
+            F.col("last_attempt").isNull() | (F.col("last_attempt") < F.lit(run_start))
+        )
+        selected = politeness_select(
+            due,
+            self.host_budgets,
+            cfg.default_host_budget,
+            cfg.salt_buckets,
+            cfg.max_urls_per_iter,
+        )
+        selected = robots_filter(selected, self.robots).persist()
+        attempted = prefetch_filter(selected)
+
+        fetched = fetch_join(attempted, self.pages)
+        extracted = (
+            fetched.withColumn("_ex", udf_extract_page("url", "html"))
+            .select(
+                "url_hash",
+                "url",
+                "host",
+                "priority",
+                "discovered_iter",
+                F.col("_ex.title").alias("title"),
+                F.col("_ex.text").alias("text"),
+                F.col("_ex.links").alias("links"),
+            )
+            .persist()  # P4 broadcast stage: cache once, feed three sinks
+        )
+
+        # -- discovered links -> novelty check (J1) --------------------------
+        out_links = (
+            extracted.select(
+                F.col("url_hash").alias("src_hash"),
+                F.col("discovered_iter").alias("src_iter"),
+                F.col("priority").alias("src_priority"),
+                F.explode("links").alias("lnk"),
+            )
+            .select(
+                "src_hash",
+                "src_iter",
+                "src_priority",
+                F.col("lnk.url").alias("url"),
+                F.col("lnk.nofollow").alias("nofollow"),
+            )
+            .withColumn("url_hash", urlops.url_hash_col("url"))
+        ).persist()
+
+        # Vertices to upsert: follow + nofollow links (U1).
+        candidate_urls = (
+            out_links.groupBy("url_hash")
+            .agg(
+                F.first("url").alias("url"),
+                F.min("src_iter").alias("src_iter"),
+                F.max("src_priority").alias("src_priority"),
+            )
+        )
+        bloom = self.lake.read(BLOOM_TABLE) if cfg.use_bloom else None
+        new_links = seen_ops.filter_unseen(
+            candidate_urls,
+            frontier.select("url_hash"),
+            bloom,
+            cfg.bloom_buckets,
+        )
+        new_rows = (
+            _with_url_cols(new_links.select("url", "src_iter", "src_priority"))
+            .select(
+                "url_hash",
+                "url",
+                "host",
+                (F.col("src_priority") * F.lit(cfg.priority_decay)).alias("priority"),
+                (F.col("src_iter") + 1).alias("discovered_iter"),
+                F.lit(None).cast("timestamp").alias("retrieved_at"),
+                F.lit(None).cast("timestamp").alias("last_attempt"),
+            )
+            .persist()
+        )
+
+        # -- metrics (single pass over cached DFs) ---------------------------
+        n_selected = selected.count()
+        n_fetched = extracted.count()
+        n_new = new_rows.count()
+
+        # -- sink 1: frontier MERGE (J1 upsert, greatest(retrieved_at)) ------
+        fetched_updates = extracted.select(
+            "url_hash", "url", "host", "priority", "discovered_iter",
+            F.lit(pass_ts).alias("retrieved_at"),
+            F.lit(pass_ts).alias("last_attempt"),
+        )
+        failed_updates = (
+            selected.join(extracted.select("url_hash"), "url_hash", "left_anti")
+            .select(
+                "url_hash", "url", "host", "priority", "discovered_iter",
+                F.col("retrieved_at"),
+                F.lit(pass_ts).alias("last_attempt"),
+            )
+        )
+        frontier_updates = fetched_updates.unionByName(failed_updates).unionByName(
+            new_rows
+        )
+        snaps = {
+            "frontier": self.lake.merge_upsert(
+                tables.FRONTIER,
+                frontier_updates,
+                ["url_hash"],
+                greatest_cols=["retrieved_at", "last_attempt"],
+                preserve_cols=["priority", "discovered_iter"],
+            )
+        }
+
+        # -- sink 2: edges — per-source set replacement (J2 + U2) ------------
+        new_edges = (
+            out_links.where(~F.col("nofollow"))  # F8: nofollow -> no edge
+            .select(
+                "src_hash",
+                F.col("url_hash").alias("dst_hash"),
+                F.lit(pass_ts).alias("updated_at"),
+            )
+            .dropDuplicates(["src_hash", "dst_hash"])
+        )
+        old_edges = self.lake.read(tables.EDGES)
+        kept = old_edges.join(
+            extracted.select(F.col("url_hash").alias("src_hash")),
+            "src_hash",
+            "left_anti",  # U2: RemoveStaleEdges for re-crawled sources
+        )
+        snaps["edges"] = self.lake.overwrite(
+            tables.EDGES, kept.unionByName(new_edges)
+        )
+
+        # -- sink 3: documents MERGE (S7; PageRank preserved on reindex) -----
+        docs = extracted.select(
+            "url_hash", "url", "title", "text",
+            F.lit(pass_ts).alias("indexed_at"),
+            F.lit(None).cast("double").alias("pagerank"),
+        )
+        snaps["documents"] = self.lake.merge_upsert(
+            tables.DOCUMENTS, docs, ["url_hash"], preserve_cols=["pagerank"]
+        )
+
+        # -- Bloom maintenance ------------------------------------------------
+        if cfg.use_bloom:
+            snaps["bloom"] = self.lake.overwrite(
+                BLOOM_TABLE,
+                seen_ops.update_bloom(bloom, new_rows, cfg.bloom_buckets),
+            )
+
+        for df in (selected, extracted, out_links, new_rows):
+            df.unpersist()
+
+        metrics = {
+            "selected": n_selected,
+            "fetched": n_fetched,
+            "new_urls": n_new,
+            "elapsed_sec": round(time.time() - t0, 3),
+        }
+        self._checkpoint(iteration, snaps, metrics)
+        self.metrics.append({"iteration": iteration, **metrics})
+        return metrics
+
+    # -- the loop ---------------------------------------------------------------
+
+    def run(self, seed_urls: list[str] | None = None, resume: bool = False) -> list[dict]:
+        if resume:
+            rp = self.resume_point()
+            if rp is None:
+                raise RuntimeError("resume requested but no complete checkpoint")
+            self._pin_snapshots(rp)
+            start_iter = rp["iteration"] + 1
+        else:
+            if not seed_urls:
+                raise ValueError("seed_urls required for a fresh crawl")
+            self.seed(seed_urls)
+            start_iter = 1
+
+        run_start = _now()
+        for i in range(start_iter, self.cfg.max_iterations + 1):
+            m = self.run_iteration(i, run_start)
+            if m["selected"] == 0 and m["new_urls"] == 0:
+                break  # frontier drained
+        return self.metrics
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="go_crawler_spark crawl driver")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--pages", required=True, help="parquet path of pages table")
+    ap.add_argument("--seeds", nargs="*", default=[])
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--max-iterations", type=int, default=50)
+    ap.add_argument("--host-budget", type=int, default=1_000_000)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from go_crawler_spark.session import get_spark
+
+    spark = get_spark("gcs-crawl", cpus=args.cpus)
+    pages = spark.read.parquet(args.pages)
+    cfg = CrawlConfig(
+        max_iterations=args.max_iterations, default_host_budget=args.host_budget
+    )
+    crawler = Crawler(spark, args.warehouse, pages, cfg)
+    metrics = crawler.run(seed_urls=args.seeds or None, resume=args.resume)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

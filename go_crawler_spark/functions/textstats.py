@@ -1,0 +1,173 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID, quality scoring, token counting, and document fingerprinting
+over a ``documents(text)`` table.  Everything here is a pure Column
+expression (JVM-side, whole-stage-codegen'd) — no Python in the hot path,
+so the operators scale linearly with executors at 100 TB.
+
+These extend the reference's text processing (which stops at extraction,
+crawler/text_extractor.go) with the analysis stages a web-text corpus
+pipeline needs before training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization + counting
+# ---------------------------------------------------------------------------
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Lowercased unicode-word tokens (letters+digits runs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(c), r"[^\p{L}\p{N}]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count_col(text: Column | str) -> Column:
+    """Whitespace-ish word count (JVM-side)."""
+    return F.size(tokens_col(text))
+
+
+def bpe_token_estimate_col(text: Column | str) -> Column:
+    """BPE-ish token estimate: word pieces + standalone punctuation.
+
+    A cheap, deterministic proxy for tokenizer counts: every ~4-char chunk
+    of a word is one piece, plus each punctuation mark.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.regexp_count(c, F.lit(r"\w+"))
+    word_chars = F.length(F.regexp_replace(c, r"[^\w]", ""))
+    punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    # pieces ≈ words + extra pieces for words longer than 4 chars
+    extra = F.greatest(
+        F.lit(0).cast("long"), (word_chars - words * 4) / F.lit(4)
+    ).cast("long")
+    return (words + extra + punct).alias("bpe_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword / alpha ratios)
+# ---------------------------------------------------------------------------
+
+_EN_STOPWORDS = [
+    "the", "of", "and", "a", "to", "in", "is", "you", "that", "it",
+    "he", "was", "for", "on", "are", "as", "with", "his", "they", "i",
+    "at", "be", "this", "have", "from", "or", "had", "by", "not", "but",
+]
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    toks = tokens_col(c)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in _EN_STOPWORDS]))
+    )
+    alpha_chars = F.length(F.regexp_replace(c, r"[^\p{L}]", ""))
+    punct_chars = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(0.0)  # noqa: E731
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_word_len": safe(n_chars, n_tokens),
+        "alpha_ratio": safe(alpha_chars, n_chars),
+        "punct_ratio": safe(punct_chars, n_chars),
+        "stopword_ratio": safe(stop_hits, F.least(n_tokens, F.lit(len(_EN_STOPWORDS)))),
+    }
+
+
+def quality_score_col(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic (length, alpha, punct, stopwords).
+
+    Deliberately simple and fully declarative; the point is the shape
+    (per-row scoring that Catalyst fuses into the scan), not the model.
+    """
+    f = quality_features(text)
+    length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    alpha_term = f["alpha_ratio"]
+    punct_term = F.lit(1.0) - F.least(f["punct_ratio"] * 4, F.lit(1.0))
+    stop_term = F.least(f["stopword_ratio"] * 2, F.lit(1.0))
+    word_len_ok = F.when(
+        (f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 12), 1.0
+    ).otherwise(0.3)
+    return (
+        (length_term * 0.3 + alpha_term * 0.25 + punct_term * 0.15
+         + stop_term * 0.2 + word_len_ok * 0.1)
+    ).alias("quality_score")
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-hit heuristic, pure Columns)
+# ---------------------------------------------------------------------------
+
+_LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "was", "for",
+           "with", "are", "this", "have", "from", "not", "they"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein",
+           "eine", "von", "den", "im", "für", "auf", "des", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "je", "pas", "pour", "que", "une",
+           "des", "dans", "qui", "sur", "avec", "au", "ce"],
+    "es": ["el", "la", "los", "las", "y", "es", "no", "por", "que", "una",
+           "en", "un", "para", "con", "se", "su", "del"],
+    "it": ["il", "la", "che", "e", "è", "non", "per", "una", "sono", "mi",
+           "si", "lo", "di", "un", "con", "del", "al"],
+}
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """Best-guess language by distinct-stopword hits; 'und' if no hits."""
+    toks = F.array_distinct(tokens_col(text))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build reverse-order when-chain; earlier langs win ties deterministically
+    for lang in reversed(list(_LANG_STOPWORDS)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr.alias("lang_guess")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (shingle rolling-hash)
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text: Column | str, k: int = 5) -> Column:
+    """Distinct word k-gram shingles (the dedup/similarity unit)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def fingerprint_col(text: Column | str, k: int = 5) -> Column:
+    """64-bit document fingerprint: min rolling-hash over k-gram shingles.
+
+    Equal fingerprints ⇒ very likely near-identical prefix content; used
+    as a cheap first-pass cluster key before exact/minhash dedup.
+    """
+    sh = shingles_col(text, k)
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s))).alias("fingerprint")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach all stats columns to a documents DataFrame."""
+    feats = quality_features(text_col)
+    out = df
+    for name, col in feats.items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("bpe_tokens", bpe_token_estimate_col(text_col))
+        .withColumn("quality_score", quality_score_col(text_col))
+        .withColumn("lang_guess", lang_id_col(text_col))
+        .withColumn("fingerprint", fingerprint_col(text_col))
+    )

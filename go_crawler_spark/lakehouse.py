@@ -1,0 +1,216 @@
+"""Snapshot-versioned parquet tables with MERGE semantics ("lakehouse-lite").
+
+The production design for this engine is Iceberg: every persistent table
+(frontier, url_seen, edges, documents) is an Iceberg table bucketed by
+``url_hash``, mutated with ``MERGE INTO``, and the crawl checkpoints are
+Iceberg snapshot ids.  This sandbox has no Iceberg runtime jar, so this
+module provides the same contract on plain parquet:
+
+* a table = a directory of immutable snapshot data dirs + a JSON manifest
+  naming the data dirs that compose each snapshot (appends reuse parent
+  dirs — O(delta) like Iceberg fast-append);
+* writers produce a fully-written snapshot dir first, then atomically
+  swap the manifest (rename) — a killed job never corrupts a table;
+* readers pin a snapshot id — time travel — which is what crawl
+  checkpoint/resume uses (see ``crawl.py``).
+
+Replaces the reference's CockroachDB tables + migrations
+(migrations/01_create_links_table.up.sql, 02_create_edges_table.up.sql)
+and its in-memory stores (graph/store/memory/memory.go).
+
+At 100 TB the only structural difference vs Iceberg is that ``merge``
+here rewrites the whole table instead of just the touched buckets; the
+call sites are written so that swapping in a real Iceberg ``MERGE INTO``
+is a one-line change per table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+MANIFEST = "MANIFEST.json"
+
+
+@dataclass
+class TableSpec:
+    name: str
+    schema: T.StructType
+    # Spark partitionBy columns for snapshot data dirs (bucket pruning).
+    partition_by: list[str] = field(default_factory=list)
+
+
+def bucket_col(hash_col: str, num_buckets: int) -> F.Column:
+    """Iceberg-style bucket transform: pmod(hash, N)."""
+    return F.pmod(F.col(hash_col), F.lit(num_buckets)).cast("int")
+
+
+class Lakehouse:
+    """A warehouse directory holding snapshot-versioned tables."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest plumbing --------------------------------------------------
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), MANIFEST)
+
+    def _read_manifest(self, name: str) -> dict:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return {"current": None, "snapshots": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_manifest(self, name: str, manifest: dict) -> None:
+        d = self._table_dir(name)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(name))  # atomic swap
+
+    def current_snapshot(self, name: str) -> str | None:
+        return self._read_manifest(name)["current"]
+
+    def set_current_snapshot(self, name: str, snapshot_id: str) -> None:
+        """Roll a table back/forward to a known snapshot (resume path)."""
+        m = self._read_manifest(name)
+        if snapshot_id not in m["snapshots"]:
+            raise KeyError(f"{name}: unknown snapshot {snapshot_id}")
+        m["current"] = snapshot_id
+        self._write_manifest(name, m)
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self, spec: TableSpec, snapshot_id: str | None = None) -> DataFrame:
+        m = self._read_manifest(spec.name)
+        snap = snapshot_id or m["current"]
+        if snap is None:
+            return self.spark.createDataFrame([], spec.schema)
+        dirs = [
+            os.path.join(self._table_dir(spec.name), d)
+            for d in m["snapshots"][snap]["data_dirs"]
+        ]
+        df = self.spark.read.schema(_read_schema(spec)).parquet(*dirs)
+        return df.select(*[f.name for f in spec.schema.fields])
+
+    # -- write --------------------------------------------------------------
+
+    def _new_data_dir(self, name: str, df: DataFrame, spec: TableSpec) -> str:
+        data_dir = f"data-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self._table_dir(name), data_dir)
+        writer = df.write.mode("overwrite")
+        if spec.partition_by:
+            writer = writer.partitionBy(*spec.partition_by)
+        writer.parquet(path)
+        return data_dir
+
+    def _commit(self, spec: TableSpec, data_dirs: list[str], op: str) -> str:
+        m = self._read_manifest(spec.name)
+        snap_id = f"snap-{len(m['snapshots']):06d}-{uuid.uuid4().hex[:8]}"
+        m["snapshots"][snap_id] = {
+            "data_dirs": data_dirs,
+            "op": op,
+            "parent": m["current"],
+            "ts": time.time(),
+        }
+        m["current"] = snap_id
+        self._write_manifest(spec.name, m)
+        return snap_id
+
+    def overwrite(self, spec: TableSpec, df: DataFrame) -> str:
+        d = self._new_data_dir(spec.name, _conform(df, spec), spec)
+        return self._commit(spec, [d], "overwrite")
+
+    def append(self, spec: TableSpec, df: DataFrame) -> str:
+        """Fast-append: new data dir + parent dirs, no rewrite of old data."""
+        m = self._read_manifest(spec.name)
+        parent_dirs = (
+            m["snapshots"][m["current"]]["data_dirs"] if m["current"] else []
+        )
+        d = self._new_data_dir(spec.name, _conform(df, spec), spec)
+        return self._commit(spec, parent_dirs + [d], "append")
+
+    def merge_upsert(
+        self,
+        spec: TableSpec,
+        updates: DataFrame,
+        key_cols: list[str],
+        *,
+        greatest_cols: list[str] | None = None,
+        preserve_cols: list[str] | None = None,
+    ) -> str:
+        """MERGE INTO semantics: upsert by key.
+
+        * ``greatest_cols``: on match keep ``greatest(old, new)`` — the
+          reference's ``GREATEST(links.retrieved_at, $2)`` upsert
+          (graph/store/cdb/cdb.go:14-18).
+        * ``preserve_cols``: on match keep the OLD value when the update's
+          is null — the reference's ES upsert preserving PageRank on
+          reindex (indexer/store/es/es.go:128-154).
+        Everything else: new value wins; unmatched update rows insert.
+
+        Sandbox implementation: full outer-join rewrite.  Iceberg path:
+        ``MERGE INTO t USING u ON t.k = u.k WHEN MATCHED ... ``.
+        """
+        old = self.read(spec)
+        upd = _conform(updates, spec).dropDuplicates(key_cols)
+        o, u = old.alias("o"), upd.alias("u")
+        cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"u.{k}")) for k in key_cols]
+        joined = o.join(u, cond, "full_outer")
+        greatest_cols = greatest_cols or []
+        preserve_cols = preserve_cols or []
+        matched = F.col(f"u.{key_cols[0]}").isNotNull()
+        cols = []
+        for fld in spec.schema.fields:
+            c = fld.name
+            if c in key_cols:
+                expr = F.coalesce(F.col(f"u.{c}"), F.col(f"o.{c}"))
+            elif c in greatest_cols:
+                expr = F.when(
+                    matched, F.greatest(F.col(f"o.{c}"), F.col(f"u.{c}"))
+                ).otherwise(F.coalesce(F.col(f"u.{c}"), F.col(f"o.{c}")))
+            elif c in preserve_cols:
+                expr = F.when(
+                    matched, F.coalesce(F.col(f"u.{c}"), F.col(f"o.{c}"))
+                ).otherwise(F.coalesce(F.col(f"u.{c}"), F.col(f"o.{c}")))
+            else:
+                expr = F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"o.{c}"))
+            cols.append(expr.alias(c))
+        return self.overwrite(spec, joined.select(*cols))
+
+    def delete_where(self, spec: TableSpec, condition: F.Column) -> str:
+        """Anti-delete rewrite (RemoveStaleEdges, graph/graph.go:43)."""
+        return self.overwrite(spec, self.read(spec).where(~condition))
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._table_dir(name), ignore_errors=True)
+
+
+def _read_schema(spec: TableSpec) -> T.StructType:
+    """Schema for reading data dirs: partition columns come from paths but
+    we wrote them as data columns too via partitionBy; Spark reconstructs
+    them — reading with the full schema works for both layouts."""
+    return spec.schema
+
+
+def _conform(df: DataFrame, spec: TableSpec) -> DataFrame:
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in spec.schema.fields]
+    )

@@ -1,0 +1,64 @@
+"""Synthetic fetch stage: pre-fetch guards + join against the pages table.
+
+The reference fetches per-URL over HTTP with a worker pool
+(crawler/link_fetcher.go:28-67, pipeline/runners/fixed_worker_pool.go).
+In this engine "fetch" is a distributed hash join of the selected frontier
+slice against the Common-Crawl-style ``pages`` table on ``url_hash`` — the
+no-live-network stand-in; on a real crawl this stage would be an async
+HTTP mapInPandas over the same politeness-partitioned input.
+
+Guards reproduced exactly:
+* F1 extension exclusion  (link_fetcher.go:14,31-38) — native ``rlike``;
+* F2 private-network SSRF (link_fetcher.go:41-43, privnet/privnet.go) —
+  vectorized pandas UDF over the host column (unique-host memoized);
+* F3 status in [200,299]  (link_fetcher.go:52-54) — native ``between``;
+* F4 Content-Type contains "html" (link_fetcher.go:57-59) — native
+  ``contains``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from go_crawler_spark.functions.urlops import is_private_host
+
+udf_is_private_host = F.pandas_udf(
+    lambda hosts: hosts.map(
+        {h: is_private_host(h) for h in hosts.dropna().unique()}.get
+    ).fillna(False),
+    T.BooleanType(),
+)
+
+
+def prefetch_filter(selected: DataFrame) -> DataFrame:
+    """F1 + F2 on the selected frontier slice (before the fetch join)."""
+    out = selected.where(
+        ~F.col("url").rlike(r"(?i)\.(?:jpg|jpeg|png|gif|ico|css|js)$")
+    )
+    return out.where(~udf_is_private_host(F.col("host")))
+
+
+def fetch_join(selected: DataFrame, pages: DataFrame) -> DataFrame:
+    """Inner-join frontier slice with pages on url_hash (+url tiebreak).
+
+    ``pages`` must already carry ``url_hash``.  Returns fetch successes
+    passing F3/F4; callers compute failures as selected MINUS returned.
+    """
+    page_cols = pages.select(
+        "url_hash",
+        F.col("url").alias("_page_url"),
+        "html",
+        F.coalesce(F.col("status"), F.lit(200)).alias("status"),
+        F.coalesce(F.col("content_type"), F.lit("text/html")).alias("content_type"),
+    )
+    fetched = (
+        selected.join(page_cols, "url_hash", "inner")
+        .where(F.col("url") == F.col("_page_url"))
+        .drop("_page_url")
+    )
+    return fetched.where(
+        F.col("status").between(200, 299) & F.col("content_type").contains("html")
+    )

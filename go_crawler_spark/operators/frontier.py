@@ -1,0 +1,106 @@
+"""Frontier selection: staleness, priority, per-host politeness, robots.
+
+The reference's per-pass selection is "all links with retrieved_at older
+than now-ReIndexThreshold, in map-iteration (arbitrary) order"
+(service/crawler/crawler.go:168, graph/store/cdb/cdb.go:27-29).  This
+module keeps that staleness predicate (F9) and adds the scheduler the
+north rule requires: priority ordering, per-host politeness budgets, and
+robots.txt deny-lists — all expressed so the plan survives one mega-host
+holding half the frontier.
+
+Skew handling: a naive ``Window.partitionBy(host)`` puts the mega-host's
+entire frontier slice in ONE task.  ``politeness_select`` therefore runs
+two phases:
+
+  phase 1 (salted, parallel): rank within (host, salt) — the mega-host is
+    spread over ``salt_buckets`` tasks; each salted group keeps only its
+    top ``budget`` rows, shrinking the candidate set to
+    <= salt_buckets * budget rows per host;
+  phase 2 (exact, tiny): rank within host over the shrunken set and keep
+    the true top ``budget``.
+
+Both phases are pure Column expressions (no Python).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def due_filter(frontier: DataFrame, now: datetime, reindex_threshold_days: float = 7.0) -> DataFrame:
+    """F9: never-crawled or last crawled before now - threshold
+    (default 7d per reference main.go:76)."""
+    cutoff = F.lit(now) - F.expr(
+        f"INTERVAL {int(reindex_threshold_days * 86400)} SECONDS"
+    )
+    return frontier.where(
+        F.col("retrieved_at").isNull() | (F.col("retrieved_at") < cutoff)
+    )
+
+
+def politeness_select(
+    due: DataFrame,
+    host_budgets: DataFrame | None = None,
+    default_budget: int = 100,
+    salt_buckets: int = 16,
+    max_urls_per_iter: int | None = None,
+) -> DataFrame:
+    """Top-``budget`` URLs per host by (priority desc, url_hash), skew-safe.
+
+    ``host_budgets`` (host, budget_per_iter) overrides the default; it is
+    a small dimension — broadcast it.
+    """
+    df = due
+    if host_budgets is not None:
+        df = df.join(F.broadcast(host_budgets), "host", "left")
+        budget = F.coalesce(F.col("budget_per_iter"), F.lit(default_budget))
+    else:
+        budget = F.lit(default_budget)
+    df = df.withColumn("_budget", budget).drop("budget_per_iter")
+
+    order = [F.col("priority").desc_nulls_last(), F.col("url_hash")]
+
+    # Phase 1: salted partial top-k (mega-host spread over salt_buckets tasks).
+    salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int")
+    w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+    df = (
+        df.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= F.col("_budget"))
+        .drop("_rn1")
+    )
+
+    # Phase 2: exact top-k on <= salt_buckets*budget rows per host.
+    w2 = Window.partitionBy("host").orderBy(*order)
+    df = (
+        df.withColumn("_rn2", F.row_number().over(w2))
+        .where(F.col("_rn2") <= F.col("_budget"))
+        .drop("_rn2", "_budget")
+    )
+
+    if max_urls_per_iter is not None:
+        # Global priority cap: TakeOrdered (top-k, not a full sort).
+        df = df.orderBy(*order).limit(max_urls_per_iter)
+    return df
+
+
+def robots_filter(selected: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop URLs whose path starts with any disallowed prefix for its host.
+
+    ``robots`` is (host, robots_disallow array<string>) — a small broadcast
+    dimension.  Pure Column logic via ``exists`` over the prefix array.
+    """
+    if robots is None:
+        return selected
+    raw_path = F.parse_url(F.col("url"), F.lit("PATH"))
+    path = F.when(
+        raw_path.isNull() | (raw_path == ""), F.lit("/")
+    ).otherwise(raw_path)
+    joined = selected.join(F.broadcast(robots), "host", "left")
+    denied = F.exists(
+        F.coalesce(F.col("robots_disallow"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return joined.where(~denied).drop("robots_disallow")

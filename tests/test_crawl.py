@@ -1,0 +1,185 @@
+"""End-to-end crawl: reference golden web, oracle equivalence, resume.
+
+Mirrors crawler/crawler_integration_test.go:45-122 (exact final link set,
+exact title/content strings) and adds the crawl-equivalence + resume tests
+from SURVEY.md §5.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from go_crawler_spark import fixtures, tables
+from go_crawler_spark.crawl import Crawler, CrawlConfig
+from tests.oracle_crawler import oracle_crawl
+
+
+def _frontier_map(crawler):
+    rows = crawler.lake.read(tables.FRONTIER).collect()
+    return {r.url: r.discovered_iter for r in rows}
+
+
+def _url_by_hash(crawler):
+    rows = crawler.lake.read(tables.FRONTIER).select("url_hash", "url").collect()
+    return {r.url_hash: r.url for r in rows}
+
+
+def test_integration_golden_web(spark, tmp_warehouse):
+    """The reference's integration test, on Spark."""
+    pages = fixtures.golden_pages(spark)
+    crawler = Crawler(
+        spark, tmp_warehouse, pages, CrawlConfig(max_iterations=5, bloom_buckets=4)
+    )
+    crawler.run(seed_urls=["http://srv1.test", "http://srv2.test"])
+
+    # exact final link set (crawler_integration_test.go:75-81)
+    assert set(_frontier_map(crawler)) == {
+        "http://srv1.test",
+        "http://srv2.test",
+        "http://google.com/absolute/path",
+        "http://google.com/relative",
+        "http://google.com/ignore-me",
+    }
+
+    # exact indexed title/content for both fetched pages (…:83-90)
+    docs = {
+        r.url: r for r in crawler.lake.read(tables.DOCUMENTS).collect()
+    }
+    assert set(docs) == {"http://srv1.test", "http://srv2.test"}
+    for d in docs.values():
+        assert d.title == fixtures.GOLDEN_EXPECTED_TITLE
+        assert d.text == fixtures.GOLDEN_EXPECTED_TEXT
+        assert d.indexed_at is not None
+
+    # edges: follow links only — no edge to the nofollow target (F8)
+    by_hash = _url_by_hash(crawler)
+    edges = {
+        (by_hash[r.src_hash], by_hash[r.dst_hash])
+        for r in crawler.lake.read(tables.EDGES).collect()
+    }
+    assert edges == {
+        (s, d)
+        for s in ("http://srv1.test", "http://srv2.test")
+        for d in ("http://google.com/relative", "http://google.com/absolute/path")
+    }
+
+
+N_PAGES, N_HOSTS = 300, 8
+
+
+@pytest.fixture(scope="module")
+def synth(spark):
+    pages_df = fixtures.synth_pages(spark, N_PAGES, N_HOSTS, skew=0.3, out_links=6)
+    rows = pages_df.collect()
+    pages_dict = {
+        r.url: {
+            "html": bytes(r.html),
+            "status": r.status,
+            "content_type": r.content_type,
+        }
+        for r in rows
+    }
+    seeds = fixtures.seed_urls(N_PAGES, N_HOSTS, skew=0.3)
+    return pages_df, pages_dict, seeds
+
+
+def test_oracle_equivalence_synthetic(spark, tmp_warehouse, synth):
+    """Same seeds -> identical URL-seen set, BFS depths, edges, and
+    byte-identical extracted text vs the pure-Python oracle."""
+    pages_df, pages_dict, seeds = synth
+    depth, o_edges, o_docs, o_iters = oracle_crawl(pages_dict, seeds)
+
+    crawler = Crawler(
+        spark, tmp_warehouse, pages_df, CrawlConfig(max_iterations=30, bloom_buckets=8)
+    )
+    crawler.run(seed_urls=seeds)
+
+    got = _frontier_map(crawler)
+    assert got == depth  # same URL-seen set AND same BFS discovery depth
+
+    by_hash = _url_by_hash(crawler)
+    got_edges = {
+        (by_hash[r.src_hash], by_hash[r.dst_hash])
+        for r in crawler.lake.read(tables.EDGES).collect()
+    }
+    assert got_edges == o_edges
+
+    got_docs = {
+        r.url: (r.title, r.text)
+        for r in crawler.lake.read(tables.DOCUMENTS).collect()
+    }
+    assert got_docs == o_docs  # byte-identical title + text per url
+
+    # the per-iteration fetched counts match the oracle's BFS rounds
+    got_fetched = [m["fetched"] for m in crawler.metrics if m["fetched"] or m["selected"]]
+    assert got_fetched[: len(o_iters)] == [len(s) for s in o_iters]
+
+    # and the expected-text column of the corpus agrees with extraction
+    mismatches = (
+        crawler.lake.read(tables.DOCUMENTS)
+        .join(pages_df.select("url", F.col("text").alias("exp_text")), "url")
+        .where(F.col("text") != F.col("exp_text"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_resume_after_kill(spark, tmp_warehouse, synth):
+    """Kill after iteration k -> resume -> identical final state."""
+    pages_df, pages_dict, seeds = synth
+    depth, *_ = oracle_crawl(pages_dict, seeds)
+
+    # phase 1: run only 2 iterations ("killed" mid-crawl)
+    c1 = Crawler(
+        spark, tmp_warehouse, pages_df, CrawlConfig(max_iterations=2, bloom_buckets=8)
+    )
+    c1.run(seed_urls=seeds)
+    partial = _frontier_map(c1)
+    assert partial != depth  # genuinely interrupted
+
+    # phase 2: fresh Crawler over the same warehouse, resume
+    c2 = Crawler(
+        spark, tmp_warehouse, pages_df, CrawlConfig(max_iterations=30, bloom_buckets=8)
+    )
+    c2.run(resume=True)
+    assert _frontier_map(c2) == depth
+
+
+def test_politeness_budget_enforced(spark, tmp_warehouse, synth):
+    """Per-host budget: no iteration fetches more than budget URLs/host."""
+    pages_df, pages_dict, seeds = synth
+    budgets = spark.createDataFrame(
+        [("host0.test", 5)], tables.HOST_BUDGETS_SCHEMA
+    )
+    crawler = Crawler(
+        spark,
+        tmp_warehouse,
+        pages_df,
+        CrawlConfig(max_iterations=10, default_host_budget=7, bloom_buckets=8),
+        host_budgets=budgets,
+    )
+    crawler.run(seed_urls=seeds)
+
+    frontier = crawler.lake.read(tables.FRONTIER)
+    per_iter_host = (
+        frontier.where(F.col("retrieved_at").isNotNull())
+        .groupBy("host", "retrieved_at")
+        .count()
+        .collect()
+    )
+    for r in per_iter_host:
+        cap = 5 if r.host == "host0.test" else 7
+        assert r["count"] <= cap, (r.host, r["count"])
+
+
+def test_robots_disallow(spark, tmp_warehouse):
+    pages = fixtures.golden_pages(spark)
+    robots = spark.createDataFrame(
+        [("srv2.test", ["/"])], tables.ROBOTS_SCHEMA
+    )
+    crawler = Crawler(
+        spark, tmp_warehouse, pages,
+        CrawlConfig(max_iterations=3, bloom_buckets=4), robots=robots,
+    )
+    crawler.run(seed_urls=["http://srv1.test", "http://srv2.test"])
+    docs = {r.url for r in crawler.lake.read(tables.DOCUMENTS).collect()}
+    assert docs == {"http://srv1.test"}  # srv2 denied by robots

@@ -1,0 +1,77 @@
+"""Driver-contract check: every oracle query matches DuckDB at sf0.001.
+
+(The driver itself runs sf0.01; sf0.001 keeps the suite fast while
+exercising identical code paths.)
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _normalize(rows, columns):
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(columns):
+            v = row[c] if isinstance(row, dict) else getattr(row, c)
+            if isinstance(v, float):
+                v = round(v, 6)
+                if math.isnan(v):
+                    v = "nan"
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    cols = sdf.columns
+
+    odf = ddb.execute(entry_mod.oracle_sql()[name]).df()
+    assert sorted(odf.columns.tolist()) == sorted(cols), (
+        f"{name}: column mismatch {odf.columns.tolist()} vs {cols}"
+    )
+    oracle_rows = odf.to_dict("records")
+    assert len(spark_rows) == len(oracle_rows), f"{name}: row count"
+    assert _normalize(spark_rows, cols) == _normalize(oracle_rows, cols), name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert {r.url for r in rows} == {
+        "http://srv1.test",
+        "http://srv2.test",
+        "http://google.com/absolute/path",
+        "http://google.com/relative",
+        "http://google.com/ignore-me",
+    }
+
+
+def test_rows_only_queries_run(spark):
+    qs = entry_mod.queries()
+    for name in set(qs) - set(entry_mod.oracle_sql()) - {"crawl_golden_web"}:
+        df = qs[name](spark, SF)
+        assert df.count() >= 0, name

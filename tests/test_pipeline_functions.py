@@ -1,0 +1,151 @@
+"""Training-data pipeline operators: dedup, simsearch, textstats, multimodal.
+
+Runs against the driver's sf0.001 testdata (documents/embeddings) plus
+small constructed cases with known answers.
+"""
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from go_crawler_spark.functions import dedup, multimodal, simsearch, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_known_case(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup.exact_dedup(df).collect()}
+    assert kept == {1, 3}
+    groups = dedup.duplicate_groups(df).collect()
+    assert len(groups) == 1 and groups[0].n_dups == 2 and groups[0].min_id == 1
+
+
+def test_minhash_near_dups_known_case(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    near = base.replace("lazy", "sleepy")  # 1-word change -> high jaccard
+    other = "completely different content about spark distributed query engines at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_near_dups(df, jaccard_threshold=0.3, shingle_k=3).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_simhash_near_dups_known_case(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("dog ", "dog! ", 1)
+    other = "unrelated words entirely here about lakehouse tables and bloom filters"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = dedup.simhash_near_dups(df, max_hamming=3).collect()
+    ids = {(p.id_a, p.id_b) for p in pairs}
+    assert (1, 2) in ids
+    assert (1, 3) not in ids and (2, 3) not in ids
+
+
+def test_embedding_near_dups_and_cosine(spark):
+    v = [1.0, 0.0, 0.0, 0.0]
+    v_near = [0.999, 0.04, 0.0, 0.0]
+    v_far = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, v_near), (3, v_far)], "vec_id long, embedding array<float>"
+    )
+    pairs = dedup.embedding_near_dups(df, dim=4, cosine_threshold=0.99).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_brute_force_topk_oracle(spark, embeddings):
+    """Exact cosine top-k must match a numpy oracle on real testdata."""
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    q = mat[0].tolist()
+
+    got = simsearch.brute_force_topk(embeddings, q, k=5).collect()
+
+    qn = np.array(q) / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ qn) / np.where(norms > 0, norms, 1)
+    order = np.lexsort((ids, -cos))[:5]
+    assert [r.vec_id for r in got] == ids[order].tolist()
+    for r, i in zip(got, order):
+        assert r.cosine == pytest.approx(cos[i], abs=1e-9)
+
+
+def test_ivf_recall(spark, embeddings):
+    cents = simsearch.train_centroids(embeddings, num_centroids=8)
+    indexed = simsearch.ivf_index(embeddings, cents).cache()
+    q = embeddings.select("embedding").first()[0]
+    exact = [r.vec_id for r in simsearch.brute_force_topk(embeddings, list(q), k=10).collect()]
+    approx = [r.vec_id for r in simsearch.ivf_topk(indexed, cents, list(q), k=10, nprobe=4).collect()]
+    # recall@10 with half the lists probed should be high on 500 vecs
+    assert len(set(exact) & set(approx)) >= 6
+    # and the probed subset is genuinely smaller than the corpus
+    assert indexed.where(F.col("list_id").isin([0])).count() < embeddings.count()
+
+
+def test_textstats_on_documents(spark, documents):
+    stats = textstats.with_text_stats(documents.limit(50))
+    rows = stats.collect()
+    for r in rows:
+        assert r.n_tokens >= 0 and 0.0 <= r.quality_score <= 1.0
+        assert r.lang_guess is not None
+
+
+def test_lang_id_known_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are in the house and they have food"),
+            (2, "der Hund und die Katze sind nicht im Haus mit der Maus"),
+            (3, "le chat et le chien sont dans la maison pour la nuit"),
+            (4, "el perro y el gato no son una casa para el invierno"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang for r in df.select("doc_id", textstats.lang_id_col("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es"}
+
+
+def test_fingerprint_deterministic_and_discriminative(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf"),
+         (2, "alpha bravo charlie delta echo foxtrot golf"),
+         (3, "completely different words on this row here")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fp for r in df.select("doc_id", textstats.fingerprint_col("text").alias("fp")).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 60)
+    assert media.count() == 60
+    feats = multimodal.image_features(media).collect()
+    assert len(feats) == 20  # every 3rd row is an image
+    for f_ in feats:
+        assert f_.n_bytes == 256 and 0 < f_.byte_entropy <= 8.0
+        assert f_.thumb is not None
+    # deterministic: same seed -> same phash
+    feats2 = multimodal.image_features(multimodal.synth_media(spark, 60)).collect()
+    assert {f_.media_id: f_.phash for f_ in feats} == {f_.media_id: f_.phash for f_ in feats2}
+
+    frames = multimodal.sample_frames(media, every_ms=500)
+    assert frames.where(F.col("frame_idx") == 0).count() == frames.select("media_id").distinct().count()
+
+    with pytest.raises(NotImplementedError):
+        multimodal.image_features(media, fake=False)
