@@ -44,8 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
         CrawlConfig(max_iterations=4, bloom_buckets=4),
     )
     crawler.run(seed_urls=["http://srv1.test", "http://srv2.test"])
-    docs = crawler.lake.read(tables.DOCUMENTS)
-    frontier = crawler.lake.read(tables.FRONTIER)
+    docs = crawler.read_documents()
+    frontier = crawler.read_frontier()
     return (
         frontier.select("url", "host", "discovered_iter")
         .join(docs.select("url", "title", "text"), "url", "left")

@@ -1,0 +1,75 @@
+"""Scaling-efficiency evidence: the same crawl at N and 4N local cores.
+
+The north rule requires >=0.8 throughput scaling efficiency from N to 4N
+executors.  No real cluster exists in this sandbox, so per BASELINE.md the
+evidence is the identical job on the identical deterministic corpus at
+``local[8]`` (N) vs ``local[32]`` (4N), each in a fresh JVM:
+
+    efficiency = (urls_per_sec_4N / urls_per_sec_N) / 4
+
+Usage:  python bench_scaling.py [n_pages]     (default 120000)
+Writes bench_out/scaling.json and prints a markdown row for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {here!r})
+from go_crawler_spark.session import get_spark
+import bench
+
+cpus = int(sys.argv[1]); n_pages = int(sys.argv[2])
+spark = get_spark("gcs-scaling", cpus=cpus, shuffle_partitions=max(cpus, 16))
+bench._ensure_corpus(spark, n_pages)  # corpus cached: not part of timing
+elapsed, ups = bench.bench_crawl(spark, n_pages)
+print("RESULT " + json.dumps({{"cpus": cpus, "elapsed": elapsed, "urls_per_sec": ups}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, n_pages: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    code = _CHILD.format(here=HERE)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(n_pages)],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"local[{cpus}] run failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    r_n = run_level(8, n_pages)
+    r_4n = run_level(32, n_pages)
+    eff = (r_4n["urls_per_sec"] / r_n["urls_per_sec"]) / 4.0
+    result = {
+        "n_pages": n_pages,
+        "local8": r_n,
+        "local32": r_4n,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    os.makedirs(os.path.join(HERE, "bench_out"), exist_ok=True)
+    with open(os.path.join(HERE, "bench_out", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    print(
+        f"| crawl {n_pages} pages | local[8]: {r_n['urls_per_sec']:.0f} urls/s "
+        f"| local[32]: {r_4n['urls_per_sec']:.0f} urls/s "
+        f"| efficiency {eff:.2f} |"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,17 @@ One iteration == one reference "crawl pass" (service/crawler/crawler.go:
 
 The "broadcast to two sinks" stage of the reference (pipeline/runners/
 broadcast.go, graph-updater ∥ text-indexer) becomes persist()-once,
-write-three-times (frontier merge, edges merge, documents merge).
+write-three-times (frontier, edges, documents).
+
+State tables use **merge-on-read**: every iteration only APPENDS its
+delta (selected-row attempt marks, newly discovered URLs, new edges, new
+document versions) — O(changes), never O(table) — and readers reconcile
+per key (greatest-timestamp per url_hash; latest-crawl edge set per src;
+latest document version).  Every ``compact_interval`` iterations the
+tables are compacted (rewritten reconciled) to bound read amplification.
+This is exactly Iceberg's MoR + maintenance-compaction pattern; with an
+Iceberg catalog the appends become fast-appends and compaction becomes
+``rewrite_data_files``.
 
 Checkpoint/resume: after every iteration a record with the snapshot id of
 every table plus metrics is appended to ``crawl_state.jsonl``.  A killed
@@ -59,6 +69,7 @@ class CrawlConfig:
     bloom_capacity_per_bucket: int = 100_000
     bloom_fpp: float = 0.01
     use_bloom: bool = True
+    compact_interval: int = 8  # MoR maintenance cadence (iterations)
     seed_priority: float = 1.0
     # child priority = parent_depth decay (priority-ordered frontier)
     priority_decay: float = 0.5
@@ -103,6 +114,10 @@ class Crawler:
         self.robots = robots
         self.state_path = os.path.join(warehouse, STATE_FILE)
         self.metrics: list[dict] = []
+        self._bloom: DataFrame | None = None  # in-memory Bloom shards
+        self.shuffle_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
 
     # -- state / checkpointing ----------------------------------------------
 
@@ -128,12 +143,17 @@ class Crawler:
         )
 
     def resume_point(self) -> dict | None:
-        complete = [r for r in self._load_state() if r["status"] == "complete"]
+        complete = [
+            r
+            for r in self._load_state()
+            if r["status"] == "complete" and isinstance(r.get("iteration"), int)
+        ]
         return complete[-1] if complete else None
 
     def _pin_snapshots(self, record: dict) -> None:
         for name, snap in record["snapshots"].items():
             self.lake.set_current_snapshot(name, snap)
+        self._bloom = None  # reload lazily from the pinned snapshot
 
     # -- seeding --------------------------------------------------------------
 
@@ -166,9 +186,75 @@ class Crawler:
             self.spark, self.cfg.bloom_buckets, self.cfg.bloom_capacity_per_bucket,
             self.cfg.bloom_fpp,
         )
-        bloom = seen_ops.update_bloom(bloom, seeds, self.cfg.bloom_buckets)
+        bloom = seen_ops.update_bloom(
+            bloom, seeds, self.cfg.bloom_buckets
+        ).localCheckpoint(eager=True)
         snaps["bloom"] = self.lake.overwrite(BLOOM_TABLE, bloom)
+        self._bloom = bloom  # kept hot across iterations; disk is checkpoint
         self._checkpoint(0, snaps, {"seeds": len(canon)})
+
+    # -- merge-on-read reconciled readers ------------------------------------
+
+    def read_frontier(self) -> DataFrame:
+        """Reconcile appended frontier deltas: one row per url_hash with
+        greatest timestamps (J1 GREATEST semantics) and first-discovery
+        priority/depth."""
+        raw = self.lake.read(tables.FRONTIER)
+        return raw.groupBy("url_hash").agg(
+            F.first("url").alias("url"),
+            F.first("host").alias("host"),
+            F.max("priority").alias("priority"),
+            F.min("discovered_iter").alias("discovered_iter"),
+            F.max("retrieved_at").alias("retrieved_at"),
+            F.max("last_attempt").alias("last_attempt"),
+        )
+
+    def read_edges(self) -> DataFrame:
+        """Reconcile edges: per source, only the latest crawl's edge set
+        survives (U2 RemoveStaleEdges); null-dst rows are re-crawl markers."""
+        from pyspark.sql import Window
+
+        raw = self.lake.read(tables.EDGES)
+        w = Window.partitionBy("src_hash")
+        return (
+            raw.withColumn("_latest", F.max("updated_at").over(w))
+            .where(
+                (F.col("updated_at") == F.col("_latest"))
+                & F.col("dst_hash").isNotNull()
+            )
+            .drop("_latest")
+            .dropDuplicates(["src_hash", "dst_hash"])
+        )
+
+    def read_documents(self) -> DataFrame:
+        """Reconcile documents: latest version per url_hash; pagerank is
+        carried from any version (preserved across reindex, J4)."""
+        from pyspark.sql import Window
+
+        raw = self.lake.read(tables.DOCUMENTS)
+        wk = Window.partitionBy("url_hash")
+        wo = wk.orderBy(F.desc("indexed_at"))
+        return (
+            raw.withColumn("_rn", F.row_number().over(wo))
+            .withColumn("_pr", F.max("pagerank").over(wk))
+            .where(F.col("_rn") == 1)
+            .select(
+                "url_hash", "url", "title", "text", "indexed_at",
+                F.col("_pr").alias("pagerank"),
+            )
+        )
+
+    def compact(self, iteration: int) -> None:
+        """MoR maintenance: rewrite each state table reconciled (bounds
+        read amplification; Iceberg analog: rewrite_data_files)."""
+        snaps = {
+            "frontier": self.lake.overwrite(tables.FRONTIER, self.read_frontier()),
+            "edges": self.lake.overwrite(tables.EDGES, self.read_edges()),
+            "documents": self.lake.overwrite(tables.DOCUMENTS, self.read_documents()),
+        }
+        if self.cfg.use_bloom:
+            snaps["bloom"] = self.lake.current_snapshot("bloom")
+        self._checkpoint(iteration, snaps, {"op": "compact"})
 
     # -- one iteration ---------------------------------------------------------
 
@@ -176,7 +262,7 @@ class Crawler:
         cfg = self.cfg
         pass_ts = _now()
         t0 = time.time()
-        frontier = self.lake.read(tables.FRONTIER)
+        frontier = self.read_frontier()
 
         due = due_filter(frontier, pass_ts, cfg.reindex_threshold_days).where(
             F.col("last_attempt").isNull() | (F.col("last_attempt") < F.lit(run_start))
@@ -192,8 +278,16 @@ class Crawler:
         attempted = prefetch_filter(selected)
 
         fetched = fetch_join(attempted, self.pages)
+        # Explicit repartition before the extraction UDF: without it the
+        # heavy Python stage inherits whatever partitioning the fetch join
+        # produced (often the pages table's few parquet splits after AQE
+        # broadcasts the small frontier side) and runs near-serial.  An
+        # explicit N is respected by AQE (not re-coalesced), so extraction
+        # parallelism tracks the cluster size — the property the N->4N
+        # scaling criterion measures.
         extracted = (
-            fetched.withColumn("_ex", udf_extract_page("url", "html"))
+            fetched.repartition(self.shuffle_partitions, "url_hash")
+            .withColumn("_ex", udf_extract_page("url", "html"))
             .select(
                 "url_hash",
                 "url",
@@ -234,10 +328,15 @@ class Crawler:
                 F.max("src_priority").alias("src_priority"),
             )
         )
-        bloom = self.lake.read(BLOOM_TABLE) if cfg.use_bloom else None
+        if cfg.use_bloom and self._bloom is None:
+            self._bloom = self.lake.read(BLOOM_TABLE)
+        bloom = self._bloom if cfg.use_bloom else None
+        # membership check against RAW appended keys (any appearance =
+        # seen) — skips the reconcile shuffle on the anti-join side.
+        seen_keys = self.lake.read(tables.FRONTIER).select("url_hash")
         new_links = seen_ops.filter_unseen(
             candidate_urls,
-            frontier.select("url_hash"),
+            seen_keys,
             bloom,
             cfg.bloom_buckets,
         )
@@ -255,12 +354,27 @@ class Crawler:
             .persist()
         )
 
-        # -- metrics (single pass over cached DFs) ---------------------------
-        n_selected = selected.count()
-        n_fetched = extracted.count()
-        n_new = new_rows.count()
+        # All row counts below come from the written parquet footers —
+        # metrics cost zero extra Spark jobs.
 
-        # -- sink 1: frontier MERGE (J1 upsert, greatest(retrieved_at)) ------
+        # -- sink 1: documents (S7) — append new version; reconcile keeps the
+        # latest and carries pagerank across reindex (J4 preserve semantics).
+        # Written first: this action materializes the `extracted` cache.
+        docs = extracted.select(
+            "url_hash", "url", "title", "text",
+            F.lit(pass_ts).alias("indexed_at"),
+            F.lit(None).cast("double").alias("pagerank"),
+        )
+        snaps = {}
+        snaps["documents"], n_fetched = self.lake.append_counted(tables.DOCUMENTS, docs)
+
+        # -- sink 2: newly discovered URLs (materializes out_links+new_rows;
+        # separate append => its footer count is the new_urls metric) -------
+        _, n_new = self.lake.append_counted(tables.FRONTIER, new_rows)
+
+        # Remaining sinks read only cached inputs and hit three different
+        # tables — run them as concurrent Spark jobs (the reference's
+        # broadcast-to-sinks stage overlap, pipeline/runners/broadcast.go).
         fetched_updates = extracted.select(
             "url_hash", "url", "host", "priority", "discovered_iter",
             F.lit(pass_ts).alias("retrieved_at"),
@@ -274,20 +388,6 @@ class Crawler:
                 F.lit(pass_ts).alias("last_attempt"),
             )
         )
-        frontier_updates = fetched_updates.unionByName(failed_updates).unionByName(
-            new_rows
-        )
-        snaps = {
-            "frontier": self.lake.merge_upsert(
-                tables.FRONTIER,
-                frontier_updates,
-                ["url_hash"],
-                greatest_cols=["retrieved_at", "last_attempt"],
-                preserve_cols=["priority", "discovered_iter"],
-            )
-        }
-
-        # -- sink 2: edges — per-source set replacement (J2 + U2) ------------
         new_edges = (
             out_links.where(~F.col("nofollow"))  # F8: nofollow -> no edge
             .select(
@@ -297,32 +397,42 @@ class Crawler:
             )
             .dropDuplicates(["src_hash", "dst_hash"])
         )
-        old_edges = self.lake.read(tables.EDGES)
-        kept = old_edges.join(
-            extracted.select(F.col("url_hash").alias("src_hash")),
-            "src_hash",
-            "left_anti",  # U2: RemoveStaleEdges for re-crawled sources
-        )
-        snaps["edges"] = self.lake.overwrite(
-            tables.EDGES, kept.unionByName(new_edges)
+        markers = extracted.select(
+            F.col("url_hash").alias("src_hash"),
+            F.lit(None).cast("long").alias("dst_hash"),
+            F.lit(pass_ts).alias("updated_at"),
         )
 
-        # -- sink 3: documents MERGE (S7; PageRank preserved on reindex) -----
-        docs = extracted.select(
-            "url_hash", "url", "title", "text",
-            F.lit(pass_ts).alias("indexed_at"),
-            F.lit(None).cast("double").alias("pagerank"),
-        )
-        snaps["documents"] = self.lake.merge_upsert(
-            tables.DOCUMENTS, docs, ["url_hash"], preserve_cols=["pagerank"]
-        )
+        from concurrent.futures import ThreadPoolExecutor
 
-        # -- Bloom maintenance ------------------------------------------------
-        if cfg.use_bloom:
-            snaps["bloom"] = self.lake.overwrite(
-                BLOOM_TABLE,
-                seen_ops.update_bloom(bloom, new_rows, cfg.bloom_buckets),
+        def write_marks():
+            # frontier attempt-marks (J1 greatest(retrieved_at) semantics)
+            return self.lake.append_counted(
+                tables.FRONTIER, fetched_updates.unionByName(failed_updates)
             )
+
+        def write_edges():
+            # edges + null-dst re-crawl markers (J2 + U2 via reconcile)
+            return self.lake.append(tables.EDGES, new_edges.unionByName(markers))
+
+        def write_bloom():
+            if not cfg.use_bloom:
+                return None
+            new_bloom = seen_ops.update_bloom(bloom, new_rows, cfg.bloom_buckets)
+            return self.lake.overwrite(BLOOM_TABLE, new_bloom)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_marks = pool.submit(write_marks)
+            f_edges = pool.submit(write_edges)
+            f_bloom = pool.submit(write_bloom)
+            snaps["frontier"], n_selected = f_marks.result()
+            snaps["edges"] = f_edges.result()
+            bloom_snap = f_bloom.result()
+        if cfg.use_bloom:
+            snaps["bloom"] = bloom_snap
+            # lazy read-back: shallow lineage for the next iteration's
+            # cogroups (chaining DF-to-DF would nest plans unboundedly)
+            self._bloom = self.lake.read(BLOOM_TABLE)
 
         for df in (selected, extracted, out_links, new_rows):
             df.unpersist()
@@ -355,6 +465,8 @@ class Crawler:
         run_start = _now()
         for i in range(start_iter, self.cfg.max_iterations + 1):
             m = self.run_iteration(i, run_start)
+            if i % self.cfg.compact_interval == 0:
+                self.compact(i)
             if m["selected"] == 0 and m["new_urls"] == 0:
                 break  # frontier drained
         return self.metrics

@@ -140,12 +140,23 @@ class Lakehouse:
 
     def append(self, spec: TableSpec, df: DataFrame) -> str:
         """Fast-append: new data dir + parent dirs, no rewrite of old data."""
+        snap, _ = self.append_counted(spec, df)
+        return snap
+
+    def append_counted(self, spec: TableSpec, df: DataFrame) -> tuple[str, int]:
+        """Append and return (snapshot_id, rows_written).
+
+        The row count comes from the written parquet footers (driver-side
+        metadata read) — no extra Spark job, the same trick Iceberg's
+        snapshot summary uses.
+        """
         m = self._read_manifest(spec.name)
         parent_dirs = (
             m["snapshots"][m["current"]]["data_dirs"] if m["current"] else []
         )
         d = self._new_data_dir(spec.name, _conform(df, spec), spec)
-        return self._commit(spec, parent_dirs + [d], "append")
+        snap = self._commit(spec, parent_dirs + [d], "append")
+        return snap, rows_in_dir(os.path.join(self._table_dir(spec.name), d))
 
     def merge_upsert(
         self,
@@ -201,6 +212,16 @@ class Lakehouse:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)
+
+
+def rows_in_dir(path: str) -> int:
+    """Row count from parquet footers (no Spark job)."""
+    import pyarrow.dataset as pads
+
+    try:
+        return pads.dataset(path, format="parquet").count_rows()
+    except Exception:
+        return -1
 
 
 def _read_schema(spec: TableSpec) -> T.StructType:

@@ -67,7 +67,10 @@ EDGES = TableSpec(
     T.StructType(
         [
             T.StructField("src_hash", T.LongType(), False),
-            T.StructField("dst_hash", T.LongType(), False),
+            # Nullable: a null dst is a "source re-crawled at updated_at"
+            # marker used by the merge-on-read reconcile to implement
+            # RemoveStaleEdges (U2) without rewriting the table.
+            T.StructField("dst_hash", T.LongType(), True),
             T.StructField("updated_at", T.TimestampType()),
         ]
     ),

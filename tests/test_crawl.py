@@ -14,12 +14,12 @@ from tests.oracle_crawler import oracle_crawl
 
 
 def _frontier_map(crawler):
-    rows = crawler.lake.read(tables.FRONTIER).collect()
+    rows = crawler.read_frontier().collect()
     return {r.url: r.discovered_iter for r in rows}
 
 
 def _url_by_hash(crawler):
-    rows = crawler.lake.read(tables.FRONTIER).select("url_hash", "url").collect()
+    rows = crawler.read_frontier().select("url_hash", "url").collect()
     return {r.url_hash: r.url for r in rows}
 
 
@@ -42,7 +42,7 @@ def test_integration_golden_web(spark, tmp_warehouse):
 
     # exact indexed title/content for both fetched pages (…:83-90)
     docs = {
-        r.url: r for r in crawler.lake.read(tables.DOCUMENTS).collect()
+        r.url: r for r in crawler.read_documents().collect()
     }
     assert set(docs) == {"http://srv1.test", "http://srv2.test"}
     for d in docs.values():
@@ -54,7 +54,7 @@ def test_integration_golden_web(spark, tmp_warehouse):
     by_hash = _url_by_hash(crawler)
     edges = {
         (by_hash[r.src_hash], by_hash[r.dst_hash])
-        for r in crawler.lake.read(tables.EDGES).collect()
+        for r in crawler.read_edges().collect()
     }
     assert edges == {
         (s, d)
@@ -99,13 +99,13 @@ def test_oracle_equivalence_synthetic(spark, tmp_warehouse, synth):
     by_hash = _url_by_hash(crawler)
     got_edges = {
         (by_hash[r.src_hash], by_hash[r.dst_hash])
-        for r in crawler.lake.read(tables.EDGES).collect()
+        for r in crawler.read_edges().collect()
     }
     assert got_edges == o_edges
 
     got_docs = {
         r.url: (r.title, r.text)
-        for r in crawler.lake.read(tables.DOCUMENTS).collect()
+        for r in crawler.read_documents().collect()
     }
     assert got_docs == o_docs  # byte-identical title + text per url
 
@@ -115,7 +115,7 @@ def test_oracle_equivalence_synthetic(spark, tmp_warehouse, synth):
 
     # and the expected-text column of the corpus agrees with extraction
     mismatches = (
-        crawler.lake.read(tables.DOCUMENTS)
+        crawler.read_documents()
         .join(pages_df.select("url", F.col("text").alias("exp_text")), "url")
         .where(F.col("text") != F.col("exp_text"))
         .count()
@@ -159,7 +159,7 @@ def test_politeness_budget_enforced(spark, tmp_warehouse, synth):
     )
     crawler.run(seed_urls=seeds)
 
-    frontier = crawler.lake.read(tables.FRONTIER)
+    frontier = crawler.read_frontier()
     per_iter_host = (
         frontier.where(F.col("retrieved_at").isNotNull())
         .groupBy("host", "retrieved_at")
@@ -181,5 +181,5 @@ def test_robots_disallow(spark, tmp_warehouse):
         CrawlConfig(max_iterations=3, bloom_buckets=4), robots=robots,
     )
     crawler.run(seed_urls=["http://srv1.test", "http://srv2.test"])
-    docs = {r.url for r in crawler.lake.read(tables.DOCUMENTS).collect()}
+    docs = {r.url for r in crawler.read_documents().collect()}
     assert docs == {"http://srv1.test"}  # srv2 denied by robots
