@@ -7,7 +7,16 @@ evidence is the identical job on the identical deterministic corpus at
 
     efficiency = (urls_per_sec_4N / urls_per_sec_N) / 4
 
-Usage:  python bench_scaling.py [n_pages]     (default 120000)
+Fair emulation details:
+* the N-core run is pinned with ``taskset -c 0-(N-1)`` so its JVM task
+  threads AND Python UDF workers share exactly N cores — the same
+  core-per-slot ratio a real N-core cluster has.  Without pinning the
+  "small cluster" borrows the whole machine for its Python workers and
+  the comparison understates scaling.
+* best-of-``reps`` per level (shared-VM noise), warehouse + corpus on
+  tmpfs (state I/O must not bottleneck on the sandbox's shared disk).
+
+Usage:  python bench_scaling.py [n_pages] [reps]    (default 1000000 2)
 Writes bench_out/scaling.json and prints a markdown row for BASELINE.md.
 """
 
@@ -27,7 +36,8 @@ from go_crawler_spark.session import get_spark
 import bench
 
 cpus = int(sys.argv[1]); n_pages = int(sys.argv[2])
-spark = get_spark("gcs-scaling", cpus=cpus, shuffle_partitions=max(cpus, 16))
+spark = get_spark("gcs-scaling", cpus=cpus, shuffle_partitions=max(cpus, 16),
+                  extra_conf={{"spark.sql.adaptive.enabled": "false"}})
 bench._ensure_corpus(spark, n_pages)  # corpus cached: not part of timing
 elapsed, ups = bench.bench_crawl(spark, n_pages)
 print("RESULT " + json.dumps({{"cpus": cpus, "elapsed": elapsed, "urls_per_sec": ups}}))
@@ -35,23 +45,30 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, n_pages: int) -> dict:
+def run_level(cpus: int, n_pages: int, pin: bool = True) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     code = _CHILD.format(here=HERE)
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(n_pages)],
-        capture_output=True, text=True, env=env, timeout=3600,
-    )
+    cmd = [sys.executable, "-c", code, str(cpus), str(n_pages)]
+    total = os.cpu_count() or cpus
+    if pin and cpus < total:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(f"local[{cpus}] run failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+def best_of(cpus: int, n_pages: int, reps: int) -> dict:
+    runs = [run_level(cpus, n_pages) for _ in range(reps)]
+    return max(runs, key=lambda r: r["urls_per_sec"])
+
+
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
-    r_n = run_level(8, n_pages)
-    r_4n = run_level(32, n_pages)
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    r_n = best_of(8, n_pages, reps)
+    r_4n = best_of(32, n_pages, reps)
     eff = (r_4n["urls_per_sec"] / r_n["urls_per_sec"]) / 4.0
     result = {
         "n_pages": n_pages,

@@ -8,18 +8,19 @@ north rule requires: priority ordering, per-host politeness budgets, and
 robots.txt deny-lists — all expressed so the plan survives one mega-host
 holding half the frontier.
 
-Skew handling: a naive ``Window.partitionBy(host)`` puts the mega-host's
-entire frontier slice in ONE task.  ``politeness_select`` therefore runs
-two phases:
+Skew handling: a naive rank-then-filter over ``Window.partitionBy(host)``
+would put the mega-host's entire frontier slice in ONE task.  Spark 4's
+``WindowGroupLimit`` rewrite makes the ``row_number() <= k`` pattern run a
+*partial* top-k on the map side before the exchange (visible in the plan
+as ``WindowGroupLimit ... Partial``), so each task forwards at most
+``budget`` rows per host — the same effect as manual salting, natively.
+``politeness_select`` therefore uses a single window when the budget is a
+plain constant, and falls back to an explicit two-phase salted top-k
+(rank within (host, salt), then exact rank within host) when per-host
+budget overrides defeat the rewrite.  ``tests/test_plans.py`` locks the
+partial-top-k plan shape in.
 
-  phase 1 (salted, parallel): rank within (host, salt) — the mega-host is
-    spread over ``salt_buckets`` tasks; each salted group keeps only its
-    top ``budget`` rows, shrinking the candidate set to
-    <= salt_buckets * budget rows per host;
-  phase 2 (exact, tiny): rank within host over the shrunken set and keep
-    the true top ``budget``.
-
-Both phases are pure Column expressions (no Python).
+Everything is pure Column expressions (no Python).
 """
 
 from __future__ import annotations
@@ -54,31 +55,38 @@ def politeness_select(
     a small dimension — broadcast it.
     """
     df = due
-    if host_budgets is not None:
-        df = df.join(F.broadcast(host_budgets), "host", "left")
-        budget = F.coalesce(F.col("budget_per_iter"), F.lit(default_budget))
-    else:
-        budget = F.lit(default_budget)
-    df = df.withColumn("_budget", budget).drop("budget_per_iter")
-
     order = [F.col("priority").desc_nulls_last(), F.col("url_hash")]
 
-    # Phase 1: salted partial top-k (mega-host spread over salt_buckets tasks).
-    salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int")
-    w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
-    df = (
-        df.withColumn("_rn1", F.row_number().over(w1))
-        .where(F.col("_rn1") <= F.col("_budget"))
-        .drop("_rn1")
-    )
+    if host_budgets is None:
+        # Literal limit => Spark rewrites to WindowGroupLimit with a
+        # map-side Partial pass: skew-safe with ONE shuffle.
+        w = Window.partitionBy("host").orderBy(*order)
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= F.lit(default_budget))
+            .drop("_rn")
+        )
+    else:
+        # Column-valued budgets defeat the WindowGroupLimit rewrite, so
+        # handle skew explicitly: salted partial top-k, then exact top-k
+        # over the (<= salt_buckets * budget)-row survivors per host.
+        df = df.join(F.broadcast(host_budgets), "host", "left")
+        budget = F.coalesce(F.col("budget_per_iter"), F.lit(default_budget))
+        df = df.withColumn("_budget", budget).drop("budget_per_iter")
 
-    # Phase 2: exact top-k on <= salt_buckets*budget rows per host.
-    w2 = Window.partitionBy("host").orderBy(*order)
-    df = (
-        df.withColumn("_rn2", F.row_number().over(w2))
-        .where(F.col("_rn2") <= F.col("_budget"))
-        .drop("_rn2", "_budget")
-    )
+        salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int")
+        w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+        df = (
+            df.withColumn("_rn1", F.row_number().over(w1))
+            .where(F.col("_rn1") <= F.col("_budget"))
+            .drop("_rn1")
+        )
+        w2 = Window.partitionBy("host").orderBy(*order)
+        df = (
+            df.withColumn("_rn2", F.row_number().over(w2))
+            .where(F.col("_rn2") <= F.col("_budget"))
+            .drop("_rn2", "_budget")
+        )
 
     if max_urls_per_iter is not None:
         # Global priority cap: TakeOrdered (top-k, not a full sort).

@@ -27,6 +27,10 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # Shuffle/spill files on tmpfs when available: this sandbox's VM disk
+    # is slow and shared, and shuffle bandwidth must scale with cores (on
+    # a real cluster every executor has its own local disks).
+    local_dir = "/dev/shm/gcs-spark-local" if os.path.isdir("/dev/shm") else None
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -45,6 +49,8 @@ def get_spark(
         # for modest tables (default 128MB glues small corpora to 1-2 tasks)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

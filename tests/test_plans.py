@@ -1,0 +1,97 @@
+"""Plan-shape assertions: pushdown, pruning, codegen, join strategy.
+
+These lock in the properties SURVEY.md §4 delegates to Catalyst — if a
+refactor breaks filter pushdown or accidentally forces a cartesian join,
+these fail before any benchmark notices.
+"""
+
+import pyspark.sql.functions as F
+
+from go_crawler_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    pushed = plans.pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_column_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    scans = plans.read_schema_columns(df)
+    assert scans and set(scans[0]) == {"l_orderkey", "l_quantity"}
+
+
+def test_whole_stage_codegen_on_native_ops(spark):
+    # bpe_token_estimate is regexp/length-based (codegen-able); the
+    # tokenizer path uses higher-order functions which Spark evaluates
+    # outside codegen by design.
+    from go_crawler_spark.functions.textstats import bpe_token_estimate_col
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", bpe_token_estimate_col("text")
+    )
+    assert plans.has_codegen(df)
+
+
+def test_small_dims_broadcast(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["star_join_revenue"](spark, SF)
+    strategies = plans.join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+
+def test_anti_join_not_cartesian(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["anti_join_unseen"](spark, SF)
+    assert "CartesianProduct" not in plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plans.formatted_plan(df)
+
+
+def _tiny_frontier(spark):
+    return spark.createDataFrame(
+        [(i, f"http://h{i%3}.test/p/{i}", f"h{i%3}.test", 1.0, 0, None, None)
+         for i in range(100)],
+        "url_hash long, url string, host string, priority double, "
+        "discovered_iter int, retrieved_at timestamp, last_attempt timestamp",
+    )
+
+
+def test_politeness_default_budget_plan(spark):
+    """Plain budget: ONE shuffle, with a map-side partial top-k
+    (WindowGroupLimit Partial) so the mega-host never serializes a task."""
+    from go_crawler_spark.operators.frontier import politeness_select
+
+    out = politeness_select(_tiny_frontier(spark), default_budget=5)
+    plan = plans.formatted_plan(out)
+    assert plans.shuffle_count(out) == 1, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_politeness_overrides_salted_plan(spark):
+    """Per-host overrides: the explicit salted two-phase top-k (2 shuffles
+    for the windows + the broadcast side stays broadcast)."""
+    from go_crawler_spark import tables
+    from go_crawler_spark.operators.frontier import politeness_select
+
+    budgets = spark.createDataFrame([("h0.test", 2)], tables.HOST_BUDGETS_SCHEMA)
+    out = politeness_select(_tiny_frontier(spark), budgets, default_budget=5)
+    plan = plans.formatted_plan(out)
+    assert plans.shuffle_count(out) <= 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # correctness: caps enforced
+    import pyspark.sql.functions as F
+    counts = {r.host: r["count"] for r in out.groupBy("host").count().collect()}
+    assert counts["h0.test"] == 2
+    assert all(v <= 5 for v in counts.values())
