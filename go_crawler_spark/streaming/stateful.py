@@ -1,0 +1,93 @@
+"""Custom stateful streaming operator: per-host crawl accounting.
+
+The reference tracks per-pass processed counts in mutable service state
+(crawler/crawler.go:45-50, service/crawler/crawler.go:180-183).  The
+streaming analogue is an ``applyInPandasWithState`` operator that keeps a
+running per-host ledger (pages fetched, bytes, first/last seen) across
+micro-batches — the building block for streaming politeness enforcement
+(a budget becomes "emit only while state.count < budget").
+
+State: one struct per host, updated from Arrow batches, expired via a
+processing-time timeout so dormant hosts don't accumulate forever —
+bounded-state discipline at 10^8 hosts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+import pyspark.sql.types as T
+
+STATE_SCHEMA = "pages LONG, bytes LONG, first_ts TIMESTAMP, last_ts TIMESTAMP"
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("pages_total", T.LongType()),
+        T.StructField("bytes_total", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("batch_pages", T.LongType()),
+    ]
+)
+
+
+def _update_host(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (host,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    pages = bytes_ = 0
+    first_ts = last_ts = None
+    for pdf in pdfs:
+        pages += len(pdf)
+        bytes_ += int(pdf["n_bytes"].sum())
+        ts_min, ts_max = pdf["warc_ts"].min(), pdf["warc_ts"].max()
+        first_ts = ts_min if first_ts is None else min(first_ts, ts_min)
+        last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
+    if state.exists:
+        p0, b0, f0, l0 = state.get
+        pages_total, bytes_total = p0 + pages, b0 + bytes_
+        first_total = min(f0, first_ts) if first_ts is not None else f0
+        last_total = max(l0, last_ts) if last_ts is not None else l0
+    else:
+        pages_total, bytes_total, first_total, last_total = pages, bytes_, first_ts, last_ts
+    state.update((pages_total, bytes_total, first_total, last_total))
+    state.setTimeoutDuration(60 * 60 * 1000)  # expire hosts idle for 1h
+    yield pd.DataFrame(
+        [
+            {
+                "host": host,
+                "pages_total": pages_total,
+                "bytes_total": bytes_total,
+                "first_ts": first_total,
+                "last_ts": last_total,
+                "batch_pages": pages,
+            }
+        ]
+    )
+
+
+def host_ledger_stream(pages_stream: DataFrame) -> DataFrame:
+    """pages stream -> per-host running ledger (one row per host per batch)."""
+    import pyspark.sql.functions as F
+
+    from go_crawler_spark.functions.urlops import host_col
+
+    prepared = pages_stream.select(
+        host_col("url").alias("host"),
+        F.col("warc_ts"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+    return prepared.groupBy("host").applyInPandasWithState(
+        _update_host,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
