@@ -113,14 +113,23 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     ORDER BY c.c_custkey
     """,
 )
 def anti_join_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join — the J1 'never seen' novelty check shape."""
+    """LEFT ANTI join — the J1 'never seen' novelty check shape.
+
+    The orders side is restricted to a recent date window (the F9
+    re-crawl staleness shape) so the anti-join is non-vacuous — it
+    returns rows at every scale factor (14 @ sf0.001, 135 @ sf0.01).
+    """
     c = _read(spark, sf_dir, "customer")
-    o = _read(spark, sf_dir, "orders")
+    o = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
     return (
         c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")

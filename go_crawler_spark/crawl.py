@@ -86,14 +86,36 @@ def _with_url_cols(df: DataFrame) -> DataFrame:
     )
 
 
-def prepare_pages(pages: DataFrame) -> DataFrame:
-    """Attach the join key; ensure optional filter columns exist."""
+def prepare_pages(pages: DataFrame, dedup: bool = True) -> DataFrame:
+    """Attach the join key; ensure optional filter columns exist; enforce
+    one row per URL.
+
+    WARC corpora carry re-crawls of the same URL; without dedup the
+    fetch join would emit one extracted/document row per page version,
+    inflating the fetched metric and making read_documents tie-break
+    nondeterministically.  Newest ``warc_ts`` wins (the reference's
+    GREATEST(retrieved_at) instinct); rows without ``warc_ts`` fall back
+    to any single row per url_hash.
+    """
+    from pyspark.sql import Window
+
     cols = pages.columns
     if "status" not in cols:
         pages = pages.withColumn("status", F.lit(200))
     if "content_type" not in cols:
         pages = pages.withColumn("content_type", F.lit("text/html"))
-    return pages.withColumn("url_hash", urlops.url_hash_col("url"))
+    pages = pages.withColumn("url_hash", urlops.url_hash_col("url"))
+    if dedup:
+        order = (
+            F.desc("warc_ts") if "warc_ts" in cols else F.lit(1)
+        )
+        w = Window.partitionBy("url_hash").orderBy(order)
+        pages = (
+            pages.withColumn("_pg_rn", F.row_number().over(w))
+            .where(F.col("_pg_rn") == 1)
+            .drop("_pg_rn")
+        )
+    return pages
 
 
 class Crawler:

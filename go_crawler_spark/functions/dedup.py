@@ -58,12 +58,31 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def minhash_signature_col(text: Column | str, num_hashes: int = 64, shingle_k: int = 5) -> Column:
     """array<long> of ``num_hashes`` min-hashes over word shingles.
 
-    Each permutation is xxhash64(shingle, salt_i) — all JVM-side.
+    The expensive string hash runs ONCE per shingle; each of the
+    ``num_hashes`` permutations re-mixes that 8-byte value with
+    ``xxhash64(h, salt_i)`` — all JVM-side, no Python.
     """
-    sh = shingles_col(text, shingle_k)
+    hs = F.transform(shingles_col(text, shingle_k), lambda s: F.xxhash64(s))
+    return minhash_from_hashes(hs, num_hashes)
+
+
+def minhash_from_hashes(hashed_shingles: Column, num_hashes: int = 64) -> Column:
+    """Signature from an already-hashed shingle array (array<long>).
+
+    NB the per-permutation salt must be captured in a ONE-parameter
+    lambda: a two-parameter lambda (e.g. ``lambda h, i=i``) is treated
+    by ``F.transform`` as the (element, array_index) binary form, which
+    silently turns every "salt" into the element's position — all
+    permutations collapse into one and LSH recall degenerates to the
+    raw jaccard value.
+    """
+
+    def perm(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(hashed_shingles, perm(i)))
             for i in range(num_hashes)
         ]
     ).alias("minhash_sig")
@@ -104,27 +123,54 @@ def jaccard_col(sh_a: Column, sh_b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
 
 
+def choose_bands(num_hashes: int, threshold: float, target_recall: float = 0.999) -> int:
+    """Pick the band count whose (b, r) curve guarantees ``target_recall``
+    for pairs at ``threshold`` jaccard, with maximum selectivity.
+
+    Candidate probability at similarity j is 1 - (1 - j^r)^b with
+    r = num_hashes / b rows per band.  Larger r = fewer junk candidates;
+    we take the largest r (fewest bands) that still meets the recall
+    target at the threshold — recall for j > threshold is strictly
+    higher, and sub-threshold candidates are removed by exact verify.
+    """
+    for r in range(num_hashes, 0, -1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        recall = 1.0 - (1.0 - threshold**r) ** b
+        if recall >= target_recall:
+            return b
+    return num_hashes
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified with exact shingle Jaccard.
 
+    ``bands=None`` auto-selects the banding from the threshold via
+    ``choose_bands`` (recall >= 99.9% at the threshold, certain above).
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
+    if bands is None:
+        bands = choose_bands(num_hashes, jaccard_threshold)
+    # Shingle-hash once per document; signature + shingle set derive from it.
     prepared = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature_col(text_col, num_hashes, shingle_k),
-        shingles_col(text_col, shingle_k).alias("_sh"),
-    )
-    banded = lsh_bands(prepared, "minhash_sig", bands).select(
-        "id", "band_idx", "band_hash", "_sh"
-    )
+        F.transform(shingles_col(text_col, shingle_k), lambda s: F.xxhash64(s)).alias("_sh"),
+    ).withColumn("minhash_sig", minhash_from_hashes(F.col("_sh"), num_hashes))
+    # Banding carries ONLY (id, band_idx, band_hash): the shingle arrays
+    # never ride through the bands-fold explosion or the self-join shuffle
+    # (they'd be shipped ``bands``x otherwise — the 100 TB killer).
+    banded = lsh_bands(
+        prepared.select("id", "minhash_sig"), "minhash_sig", bands
+    ).select("id", "band_idx", "band_hash")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -133,17 +179,21 @@ def minhash_near_dups(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Re-join the (hashed) shingle sets onto the deduped candidate pairs
+    # only, then verify with exact Jaccard. Jaccard over xxhash64-mapped
+    # shingles equals Jaccard over the shingles themselves (injective map
+    # up to 64-bit collisions).
+    sh = prepared.select("id", "_sh")
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+    )
     return (
-        cand.withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard") >= jaccard_threshold)
+        verified.where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -208,10 +258,24 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Pairs within hamming distance ``max_hamming`` of 64-bit SimHash.
 
-    Pigeonhole banding: split into 4 x 16-bit pieces; any pair with
-    hamming <= 3 matches on at least one piece -> equi-join, then exact
-    hamming verification via bit_count(xor) (JVM-side).
+    Pigeonhole banding: split the 64 bits into ``max_hamming + 1``
+    pieces — any pair with hamming <= max_hamming must agree exactly on
+    at least one piece (pigeonhole), so candidates come from an
+    equi-join on (piece_idx, piece); exact hamming verification via
+    bit_count(xor) (JVM-side).  Piece count derived from ``max_hamming``
+    keeps the guarantee complete for every threshold (a fixed 4-piece
+    split is only complete for hamming <= 3).
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_pieces = max_hamming + 1
+    base, rem = divmod(64, n_pieces)
+    piece_specs = []  # (shift, width)
+    shift = 0
+    for p in range(n_pieces):
+        width = base + (1 if p < rem else 0)
+        piece_specs.append((shift, width))
+        shift += width
     sig = df.select(F.col(id_col).alias("id"), simhash_col(text_col))
     pieces = sig.select(
         "id",
@@ -221,11 +285,14 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(p).alias("piece_idx"),
-                        F.shiftright(F.col("simhash"), p * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("piece"),
+                        (
+                            F.col("simhash")
+                            if w >= 64
+                            else F.shiftrightunsigned(F.col("simhash"), s)
+                            .bitwiseAND(F.lit((1 << w) - 1))
+                        ).alias("piece"),
                     )
-                    for p in range(4)
+                    for p, (s, w) in enumerate(piece_specs)
                 ]
             )
         ).alias("pp"),

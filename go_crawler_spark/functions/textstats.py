@@ -27,6 +27,11 @@ def tokens_col(text: Column | str) -> Column:
     return F.filter(toks, lambda t: t != "")
 
 
+def _toks_or(text: Column | str, toks: Column | None) -> Column:
+    """Use a precomputed tokens column when given (single-pass path)."""
+    return tokens_col(text) if toks is None else toks
+
+
 def token_count_col(text: Column | str) -> Column:
     """Whitespace-ish word count (JVM-side)."""
     return F.size(tokens_col(text))
@@ -60,10 +65,10 @@ _EN_STOPWORDS = [
 ]
 
 
-def quality_features(text: Column | str) -> dict[str, Column]:
+def quality_features(text: Column | str, toks: Column | None = None) -> dict[str, Column]:
     c = F.col(text) if isinstance(text, str) else text
     n_chars = F.length(c)
-    toks = tokens_col(c)
+    toks = _toks_or(c, toks)
     n_tokens = F.size(toks)
     stop_hits = F.size(
         F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in _EN_STOPWORDS]))
@@ -81,13 +86,17 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     }
 
 
-def quality_score_col(text: Column | str) -> Column:
+def quality_score_col(text: Column | str, toks: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic (length, alpha, punct, stopwords).
 
     Deliberately simple and fully declarative; the point is the shape
     (per-row scoring that Catalyst fuses into the scan), not the model.
     """
-    f = quality_features(text)
+    return _quality_score_expr(quality_features(text, toks=toks))
+
+
+def _quality_score_expr(f: dict[str, Column]) -> Column:
+    """Score from already-computed feature columns (single-pass path)."""
     length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
     alpha_term = f["alpha_ratio"]
     punct_term = F.lit(1.0) - F.least(f["punct_ratio"] * 4, F.lit(1.0))
@@ -119,9 +128,9 @@ _LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
-def lang_id_col(text: Column | str) -> Column:
+def lang_id_col(text: Column | str, toks: Column | None = None) -> Column:
     """Best-guess language by distinct-stopword hits; 'und' if no hits."""
-    toks = F.array_distinct(tokens_col(text))
+    toks = F.array_distinct(_toks_or(text, toks))
     hits = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
         for lang, words in _LANG_STOPWORDS.items()
@@ -139,9 +148,9 @@ def lang_id_col(text: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def shingles_col(text: Column | str, k: int = 5) -> Column:
+def shingles_col(text: Column | str, k: int = 5, toks: Column | None = None) -> Column:
     """Distinct word k-gram shingles (the dedup/similarity unit)."""
-    toks = tokens_col(text)
+    toks = _toks_or(text, toks)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.when(n >= k, F.array_distinct(
@@ -149,25 +158,35 @@ def shingles_col(text: Column | str, k: int = 5) -> Column:
     )).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def fingerprint_col(text: Column | str, k: int = 5) -> Column:
+def fingerprint_col(text: Column | str, k: int = 5, toks: Column | None = None) -> Column:
     """64-bit document fingerprint: min rolling-hash over k-gram shingles.
 
     Equal fingerprints ⇒ very likely near-identical prefix content; used
     as a cheap first-pass cluster key before exact/minhash dedup.
     """
-    sh = shingles_col(text, k)
+    sh = shingles_col(text, k, toks=toks)
     return F.array_min(F.transform(sh, lambda s: F.xxhash64(s))).alias("fingerprint")
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach all stats columns to a documents DataFrame."""
-    feats = quality_features(text_col)
-    out = df
+    """Attach all stats columns to a documents DataFrame.
+
+    Single-pass: the tokenizer (the expensive regexp split) is
+    materialized ONCE as ``_toks`` and every feature derives from it —
+    Catalyst's CollapseProject keeps non-cheap multi-referenced aliases
+    in their own projection, so the split runs once per row, not once
+    per feature.
+    """
+    out = df.withColumn("_toks", tokens_col(text_col))
+    toks = F.col("_toks")
+    feats = quality_features(text_col, toks=toks)
     for name, col in feats.items():
         out = out.withColumn(name, col)
+    score = _quality_score_expr({name: F.col(name) for name in feats})
     return (
         out.withColumn("bpe_tokens", bpe_token_estimate_col(text_col))
-        .withColumn("quality_score", quality_score_col(text_col))
-        .withColumn("lang_guess", lang_id_col(text_col))
-        .withColumn("fingerprint", fingerprint_col(text_col))
+        .withColumn("quality_score", score)
+        .withColumn("lang_guess", lang_id_col(text_col, toks=toks))
+        .withColumn("fingerprint", fingerprint_col(text_col, toks=toks))
+        .drop("_toks")
     )

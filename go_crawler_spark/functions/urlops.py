@@ -52,9 +52,21 @@ PRIVATE_CIDRS = [
 _PRIVATE_NETS = [ipaddress.ip_network(c) for c in PRIVATE_CIDRS]
 
 
-def is_private_host(host: str, dns: dict[str, str] | None = None) -> bool:
+def is_private_host(
+    host: str,
+    dns: dict[str, str] | None = None,
+    unresolved_private: bool = False,
+) -> bool:
     """True if host is an IP literal (or statically resolvable) inside the
-    reference's private CIDR list."""
+    reference's private CIDR list.
+
+    ``unresolved_private`` selects the fail mode for named hosts that the
+    (static, sandboxed) resolver cannot resolve: the reference drops links
+    on DNS resolution error (crawler/privnet/privnet.go:62-75 — fail
+    closed), so pass True for reference-faithful SSRF behavior when a
+    resolver map is wired in; the default False (fail open) matches the
+    no-DNS sandbox where every named test host would otherwise be dropped.
+    """
     if not host:
         return False
     h = host.strip("[]")
@@ -63,7 +75,7 @@ def is_private_host(host: str, dns: dict[str, str] | None = None) -> bool:
     try:
         ip = ipaddress.ip_address(h)
     except ValueError:
-        return False  # named host, no DNS in sandbox -> public
+        return unresolved_private  # named host the resolver can't place
     return any(ip in net for net in _PRIVATE_NETS)
 
 
@@ -115,6 +127,7 @@ def extract_links(
     page_url: str,
     content: str,
     dns: dict[str, str] | None = None,
+    unresolved_private: bool = False,
 ) -> tuple[list[str], list[str]]:
     """(follow_links, nofollow_links) with the reference's exact pipeline:
 
@@ -135,7 +148,7 @@ def extract_links(
     seen: set[str] = set()
     for tag_match in FIND_LINK_RE.finditer(content):
         link = resolve_url(rel_to, tag_match.group(1))
-        if not _retain_link(src_host, link, dns):
+        if not _retain_link(src_host, link, dns, unresolved_private):
             continue
         link = strip_fragment(link)
         if link in seen:
@@ -150,7 +163,7 @@ def extract_links(
     return follow, nofollow
 
 
-def _retain_link(src_host: str, link: str | None, dns) -> bool:  # noqa: ANN001
+def _retain_link(src_host: str, link: str | None, dns, unresolved_private=False) -> bool:  # noqa: ANN001
     if not link:
         return False
     parts = urlsplit(link)
@@ -159,7 +172,7 @@ def _retain_link(src_host: str, link: str | None, dns) -> bool:  # noqa: ANN001
     host = _hostname(link)
     if host == src_host:
         return True
-    return not is_private_host(host, dns)
+    return not is_private_host(host, dns, unresolved_private)
 
 
 # ---------------------------------------------------------------------------

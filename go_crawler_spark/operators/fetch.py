@@ -25,20 +25,37 @@ import pyspark.sql.types as T
 
 from go_crawler_spark.functions.urlops import is_private_host
 
-udf_is_private_host = F.pandas_udf(
-    lambda hosts: hosts.map(
-        {h: is_private_host(h) for h in hosts.dropna().unique()}.get
-    ).fillna(False),
-    T.BooleanType(),
-)
+def make_privnet_udf(unresolved_private: bool = False, dns: dict[str, str] | None = None):
+    """Vectorized privnet check; memoizes per unique host within a batch.
+
+    ``unresolved_private=True`` = reference fail-closed semantics
+    (privnet.go:62-75: DNS resolution error drops the link).
+    """
+    return F.pandas_udf(
+        lambda hosts: hosts.map(
+            {
+                h: is_private_host(h, dns, unresolved_private)
+                for h in hosts.dropna().unique()
+            }.get
+        ).fillna(bool(unresolved_private)),
+        T.BooleanType(),
+    )
 
 
-def prefetch_filter(selected: DataFrame) -> DataFrame:
+udf_is_private_host = make_privnet_udf()
+
+
+def prefetch_filter(selected: DataFrame, unresolved_private: bool = False) -> DataFrame:
     """F1 + F2 on the selected frontier slice (before the fetch join)."""
     out = selected.where(
         ~F.col("url").rlike(r"(?i)\.(?:jpg|jpeg|png|gif|ico|css|js)$")
     )
-    return out.where(~udf_is_private_host(F.col("host")))
+    priv = (
+        udf_is_private_host
+        if not unresolved_private
+        else make_privnet_udf(unresolved_private=True)
+    )
+    return out.where(~priv(F.col("host")))
 
 
 def fetch_join(selected: DataFrame, pages: DataFrame) -> DataFrame:

@@ -59,18 +59,34 @@ def streaming_ingest(
     pages_dir: str,
     warehouse: str,
     checkpoint_dir: str,
-    watermark: str = "10 minutes",
+    watermark: str | None = None,
+    max_files_per_trigger: int = 8,
 ):
-    """Continuous documents ingestion with watermarked URL dedup.
+    """Continuous documents ingestion with URL dedup.
+
+    URL dedup is an ALL-TIME set (the reference's UNIQUE url constraint,
+    migrations/01:3), so the default dedups with unbounded state and NO
+    watermark: a watermark + dropDuplicates would silently drop any row
+    whose event time lags the watermark across micro-batches, and since
+    the event-time column is not part of the dedup key the watermark
+    would never evict dedup state anyway — worst of both.  Pass a
+    ``watermark`` duration to opt into bounded-lateness dedup instead
+    (``dropDuplicatesWithinWatermark``: duplicates suppressed within the
+    lateness bound, state evicted after it — rows later than the bound
+    may re-index, which the MoR latest-version reconcile tolerates).
 
     Returns the StreamingQuery; callers stop it / processAllAvailable().
     """
     lake = Lakehouse(spark, warehouse)
-    extracted = (
-        extract_stream(stream_pages(spark, pages_dir))
-        .withWatermark("warc_ts", watermark)
-        .dropDuplicates(["url_hash"])
+    stream = extract_stream(
+        stream_pages(spark, pages_dir, max_files_per_trigger)
     )
+    if watermark is None:
+        extracted = stream.dropDuplicates(["url_hash"])
+    else:
+        extracted = stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+            ["url_hash"]
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select(

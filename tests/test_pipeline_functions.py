@@ -45,6 +45,78 @@ def test_minhash_near_dups_known_case(spark):
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
 
 
+def test_minhash_permutations_are_distinct(spark):
+    """Regression: the per-permutation salt must actually vary.
+
+    A two-parameter transform lambda binds the second arg to the ARRAY
+    INDEX (not the salt), collapsing all permutations into one; the
+    signature then has one distinct value and LSH recall degenerates to
+    the raw jaccard.  A healthy 64-permutation signature over >=8
+    shingles has many distinct values, and two ~0.5-jaccard docs agree
+    on roughly jaccard*64 positions (binomial; [10, 54] is >6 sigma)."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    near = base.replace("lazy", "sleepy")
+    df = spark.createDataFrame([(1, base), (2, near)], "doc_id long, text string")
+    sig = df.select(
+        "doc_id",
+        dedup.minhash_signature_col("text", num_hashes=64, shingle_k=3).alias("sig"),
+    )
+    rows = {r.doc_id: r.sig for r in sig.collect()}
+    assert len(set(rows[1])) > 8, "permutations collapsed to one value"
+    agree = sum(a == b for a, b in zip(rows[1], rows[2]))
+    assert 10 <= agree <= 54
+
+
+def test_minhash_choose_bands_curve():
+    # threshold 0.8 with 64 hashes: r=4/b=16 meets 99.9% recall
+    assert dedup.choose_bands(64, 0.8) == 16
+    # low thresholds force r=1 (recall ~1 at j=0.3 needs 64 bands)
+    assert dedup.choose_bands(64, 0.3) == 64
+    # recall at the threshold is >= target for the chosen banding
+    for t in (0.3, 0.5, 0.8, 0.9):
+        b = dedup.choose_bands(64, t)
+        r = 64 // b
+        assert 1 - (1 - t**r) ** b >= 0.999
+
+
+def test_simhash_wide_hamming_pigeonhole(spark):
+    """max_hamming > 3 must still find every pair (piece count derives
+    from the threshold).  With max_hamming=63 every pair is a candidate,
+    so the result must equal the exact all-pairs hamming computation."""
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "the quick brown fox jumps over the sleepy dog " * 3),
+        (3, "unrelated words entirely here about lakehouse tables"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sigs = {
+        r.doc_id: r.simhash
+        for r in df.select("doc_id", dedup.simhash_col("text")).collect()
+    }
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    expected = {
+        (a, b): hamming(sigs[a], sigs[b])
+        for a in sigs
+        for b in sigs
+        if a < b
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dups(df, max_hamming=63).collect()
+    }
+    assert got == expected
+    # and a mid-range threshold returns exactly the pairs within it
+    t = 20
+    got20 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dups(df, max_hamming=t).collect()
+    }
+    assert got20 == {k: v for k, v in expected.items() if v <= t}
+
+
 def test_simhash_near_dups_known_case(spark):
     base = "the quick brown fox jumps over the lazy dog " * 4
     near = base.replace("dog ", "dog! ", 1)

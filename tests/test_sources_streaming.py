@@ -80,6 +80,55 @@ def test_streaming_ingest(spark, tmp_warehouse):
     assert lake.read(tables.DOCUMENTS).count() == 50
 
 
+def test_streaming_ingest_multibatch_out_of_order(spark, tmp_warehouse):
+    """URL dedup must be all-time across micro-batches: rows whose warc_ts
+    is older than earlier batches' event times (late files) must still be
+    indexed, and re-deliveries of the same url must not duplicate.
+
+    Regression: a watermark before dropDuplicates silently dropped any
+    row older than the watermark once ingestion spanned multiple
+    triggers (maxFilesPerTrigger=1 here forces one file per batch)."""
+    import pandas as pd
+    from go_crawler_spark.tables import PAGES_SCHEMA
+
+    pages_dir = os.path.join(tmp_warehouse, "pages_ooo")
+    ckpt = os.path.join(tmp_warehouse, "ckpt_ooo")
+    wh = os.path.join(tmp_warehouse, "wh_ooo")
+
+    def row(i: int, ts: str) -> dict:
+        return {
+            "url": f"http://host0.test/p/{i}",
+            "warc_ts": pd.Timestamp(ts, tz="UTC"),
+            "html": f"<html><body><p>page {i}</p></body></html>".encode(),
+            "text": f"page {i}",
+            "lang": "en",
+            "status": 200,
+            "content_type": "text/html",
+        }
+
+    # file 0: newest timestamps; file 1: 2 days OLDER (late data) + one
+    # duplicate url from file 0 — written as separate files so each is
+    # its own micro-batch (alphabetical listing order: f0 then f1).
+    f0 = [row(0, "2025-01-03 12:00:00"), row(1, "2025-01-03 13:00:00")]
+    f1 = [row(2, "2025-01-01 00:30:00"), row(0, "2025-01-01 00:00:00")]
+    for name, rows in [("f0", f0), ("f1", f1)]:
+        spark.createDataFrame(pd.DataFrame(rows), PAGES_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(pages_dir, name))
+
+    q = ingest.streaming_ingest(
+        spark, pages_dir + "/*", wh, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    lake = Lakehouse(spark, wh)
+    docs = lake.read(tables.DOCUMENTS)
+    urls = sorted(r.url for r in docs.select("url").collect())
+    # all three distinct urls present (the late file was NOT dropped),
+    # the duplicate url 0 indexed exactly once
+    assert urls == [f"http://host0.test/p/{i}" for i in (0, 1, 2)]
+
+
 def test_windowed_metrics_stream(spark, tmp_warehouse):
     pages_dir = os.path.join(tmp_warehouse, "pages_stream2")
     fixtures.synth_pages(spark, 40, n_hosts=4, skew=0.2).write.mode(

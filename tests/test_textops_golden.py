@@ -200,6 +200,30 @@ def test_privnet():
     assert is_private_host("evil.internal", dns={"evil.internal": "10.0.0.5"})
 
 
+def test_privnet_fail_closed():
+    """Reference semantics (privnet.go:62-75): a named host the resolver
+    cannot resolve is DROPPED (fail closed), behind the flag."""
+    assert is_private_host("unresolvable.host", unresolved_private=True)
+    # resolvable / literal hosts unaffected by the flag
+    assert not is_private_host("8.8.8.8", unresolved_private=True)
+    assert not is_private_host(
+        "ok.host", dns={"ok.host": "8.8.8.8"}, unresolved_private=True
+    )
+    assert is_private_host(
+        "evil.internal", dns={"evil.internal": "10.0.0.5"}, unresolved_private=True
+    )
+    # extract_links: cross-host named link dropped in fail-closed mode,
+    # same-host shortcut (F6) still retains
+    html = (
+        '<a href="http://other.test/x">cross</a>'
+        '<a href="/same">same-host</a>'
+    )
+    follow, _ = extract_links("http://me.test/", html, unresolved_private=True)
+    assert follow == ["http://me.test/same"]
+    follow_open, _ = extract_links("http://me.test/", html)
+    assert follow_open == ["http://other.test/x", "http://me.test/same"]
+
+
 def test_canonicalize_url():
     assert canonicalize_url("http://a.com/p#frag") == "http://a.com/p"
     assert canonicalize_url("ftp://a.com/p") is None
