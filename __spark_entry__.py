@@ -457,20 +457,111 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Non-SQL-expressible operators: rows-only checks (no oracle entry)
-# ---------------------------------------------------------------------------
+# -- crawl: the flagship, golden-oracled ------------------------------------
+
+# The golden-web crawl is fully deterministic: the expected output is a
+# function of the reference's own integration-test web
+# (crawler/crawler_integration_test.go:23-41), so the DuckDB oracle is
+# the expected table itself — link set, BFS depths, and byte-identical
+# extracted title/text.
+_GOLDEN_TEXT = (
+    "I am a link relative to base I am an absolute link "
+    "I am using the same URL scheme as this page Link-local address"
+)
+_CRAWL_ORACLE = f"""
+    SELECT * FROM (VALUES
+      ('http://google.com/absolute/path', 'google.com', 1,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      ('http://google.com/ignore-me', 'google.com', 1,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      ('http://google.com/relative', 'google.com', 1,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      ('http://srv1.test', 'srv1.test', 0, 'A title', '{_GOLDEN_TEXT}'),
+      ('http://srv2.test', 'srv2.test', 0, 'A title', '{_GOLDEN_TEXT}')
+    ) AS t(url, host, discovered_iter, title, text)
+    ORDER BY url
+"""
 
 
-@_q("crawl_golden_web")
+@_q("crawl_golden_web", _CRAWL_ORACLE)
 def crawl_golden_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine crawl of the reference golden web (iterative, stateful)."""
     return entry(spark)
 
 
-@_q("pagerank_scores")
+# -- pagerank: fixed-superstep run, oracled by an unrolled SQL power iteration
+
+
+_PR_STEPS = 12  # max_supersteps: supersteps 2.._PR_STEPS update (11 rounds)
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle_sql(steps: int = _PR_STEPS, d: float = _PR_DAMPING) -> str:
+    """Unrolled power iteration replicating graphx/pagerank.py exactly:
+
+        score_1   = 1/N
+        residual_k = sum_{outdeg=0} score_k / N
+        score_k+1 = (1-d)/N + d*coalesce(in_sum, 0) + d*residual_k
+        in_sum    = sum over incoming edges of score_k/outdeg
+
+    Plain chained CTEs (no recursive aggregation needed) — one pair of
+    CTEs per superstep.
+    """
+    # MATERIALIZED: without it DuckDB inlines each CTE reference, which
+    # re-opens the parquet per mention (steps x 2 mentions of `edges`)
+    # and trips the process fd limit.
+    head = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT CAST(user_id AS VARCHAR) AS src,
+             CAST(event_id % 97 AS VARCHAR) AS dst
+      FROM events GROUP BY 1, 2
+    ), verts AS (
+      SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ), base AS MATERIALIZED (
+      SELECT v.id, COALESCE(o.outdeg, 0) AS outdeg
+      FROM verts v LEFT JOIN (
+        SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src
+      ) o USING (id)
+    ), nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM base
+    ), r1 AS MATERIALIZED (
+      SELECT id, outdeg, 1.0 / (SELECT n FROM nn) AS score FROM base
+    ), res1 AS MATERIALIZED (
+      SELECT COALESCE(sum(CASE WHEN outdeg = 0
+                     THEN score / (SELECT n FROM nn) END), 0.0) AS r
+      FROM r1
+    )"""
+    steps_sql = []
+    for k in range(2, steps + 1):
+        p = k - 1
+        steps_sql.append(f"""
+    , m{k} AS MATERIALIZED (
+      SELECT e.dst AS id, sum(r.score / r.outdeg) AS in_sum
+      FROM edges e JOIN r{p} r ON r.id = e.src GROUP BY e.dst
+    ), r{k} AS MATERIALIZED (
+      SELECT b.id, b.outdeg,
+             (1 - {d}) / (SELECT n FROM nn)
+             + {d} * COALESCE(m.in_sum, 0.0)
+             + {d} * (SELECT r FROM res{p}) AS score
+      FROM base b LEFT JOIN m{k} m USING (id)
+    ), res{k} AS MATERIALIZED (
+      SELECT COALESCE(sum(CASE WHEN outdeg = 0
+                     THEN score / (SELECT n FROM nn) END), 0.0) AS r
+      FROM r{k}
+    )""")
+    return (
+        head
+        + "".join(steps_sql)
+        + f"\n    SELECT id, round(score, 6) AS score FROM r{steps} ORDER BY id"
+    )
+
+
+@_q("pagerank_scores", _pagerank_oracle_sql())
 def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative PageRank over a user->user graph derived from events."""
+    """Iterative PageRank over a user->user graph derived from events.
+
+    Fixed superstep count (min_sad=0) so the result is exactly
+    reproducible by the unrolled-SQL power iteration oracle.
+    """
     from go_crawler_spark.graphx.pagerank import pagerank
 
     e = _read(spark, sf_dir, "events")
@@ -485,34 +576,148 @@ def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices = edges.select(F.col("src").alias("id")).union(
         edges.select(F.col("dst").alias("id"))
     ).distinct()
-    res = pagerank(vertices, edges, max_supersteps=50)
+    res = pagerank(vertices, edges, min_sad=0.0, max_supersteps=_PR_STEPS)
     return res.scores.select("id", F.round("score", 6).alias("score")).orderBy("id")
 
 
-@_q("dedup_minhash_pairs")
+# -- dedup: minhash LSH, oracled by brute-force exact jaccard ----------------
+
+# DuckDB tokens/shingles identical to textstats.tokens_col/shingles_col.
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),"
+    " x -> x != '')"
+)
+
+
+def _shingle_sql(k: int) -> str:
+    """Word k-gram shingles in DuckDB (mirrors shingles_col)."""
+    return f"""
+      CASE WHEN len(tk) >= {k} THEN
+        list_distinct(list_transform(range(1, len(tk) - {k - 2}),
+                                     i -> array_to_string(tk[i:i+{k - 1}], ' ')))
+      ELSE [array_to_string(tk, ' ')] END
+    """
+
+
+_MINHASH_THRESHOLD = 0.8
+_MINHASH_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, {_shingle_sql(3)} AS s FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(a.s || b.s)) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM pairs WHERE jaccard >= {_MINHASH_THRESHOLD}
+    ORDER BY id_a, id_b
+"""
+
+
+@_q("dedup_minhash_pairs", _MINHASH_ORACLE)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs over the documents table."""
+    """MinHash-LSH near-dup pairs over the documents table.
+
+    Banding fixed at 32 bands x 2 rows: miss probability for a pair at
+    the 0.8 threshold is (1 - 0.8^2)^32 < 1e-14, so the LSH result
+    provably equals the O(n^2) brute-force oracle (which the driver
+    runs in DuckDB at sf0.01; the engine never does the n^2 join).
+    """
     from go_crawler_spark.functions.dedup import minhash_near_dups
 
     d = _read(spark, sf_dir, "documents")
     return (
-        minhash_near_dups(d, jaccard_threshold=0.5, shingle_k=3)
+        minhash_near_dups(
+            d,
+            jaccard_threshold=_MINHASH_THRESHOLD,
+            shingle_k=3,
+            num_hashes=64,
+            bands=32,
+        )
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 
 
-@_q("dedup_simhash_pairs")
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from go_crawler_spark.functions.dedup import simhash_near_dups
+# -- text analysis: quality scoring + language ID, DuckDB-oracled ------------
 
-    d = _read(spark, sf_dir, "documents")
-    return simhash_near_dups(d, max_hamming=3).orderBy("id_a", "id_b")
+_STOPWORDS_EN30 = [
+    "the", "of", "and", "a", "to", "in", "is", "you", "that", "it",
+    "he", "was", "for", "on", "are", "as", "with", "his", "they", "i",
+    "at", "be", "this", "have", "from", "or", "had", "by", "not", "but",
+]
+_LANG_SQL_WORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "was", "for",
+           "with", "are", "this", "have", "from", "not", "they"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein",
+           "eine", "von", "den", "im", "für", "auf", "des", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "je", "pas", "pour", "que", "une",
+           "des", "dans", "qui", "sur", "avec", "au", "ce"],
+    "es": ["el", "la", "los", "las", "y", "es", "no", "por", "que", "una",
+           "en", "un", "para", "con", "se", "su", "del"],
+    "it": ["il", "la", "che", "e", "è", "non", "per", "una", "sono", "mi",
+           "si", "lo", "di", "un", "con", "del", "al"],
+}
 
 
-@_q("text_quality_stats")
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_QUALITY_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS tk FROM documents
+    ), f AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        len(tk) AS n_tokens,
+        list_distinct(tk) AS dtk,
+        CASE WHEN len(tk) > 0
+             THEN length(text)::DOUBLE / len(tk) ELSE 0.0 END AS mean_word_len,
+        CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^\\p{{L}}]', '', 'g'))::DOUBLE
+                  / length(text) ELSE 0.0 END AS alpha_ratio,
+        CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                  / length(text) ELSE 0.0 END AS punct_ratio,
+        CASE WHEN least(len(tk), 30) > 0
+             THEN len(list_intersect(list_distinct(tk),
+                                     {_sql_list(_STOPWORDS_EN30)}))::DOUBLE
+                  / least(len(tk), 30) ELSE 0.0 END AS stopword_ratio
+      FROM t
+    ), h AS (
+      SELECT *,
+        {", ".join(
+            f"len(list_intersect(dtk, {_sql_list(ws)})) AS hits_{lang}"
+            for lang, ws in _LANG_SQL_WORDS.items()
+        )},
+        greatest({", ".join(
+            f"len(list_intersect(dtk, {_sql_list(ws)}))"
+            for ws in _LANG_SQL_WORDS.values()
+        )}) AS best
+      FROM f
+    )
+    SELECT doc_id, n_tokens,
+      round(least(n_tokens / 100.0, 1.0) * 0.3
+            + alpha_ratio * 0.25
+            + (1.0 - least(punct_ratio * 4, 1.0)) * 0.15
+            + least(stopword_ratio * 2, 1.0) * 0.2
+            + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12
+                    THEN 1.0 ELSE 0.3 END) * 0.1, 6) AS quality_score,
+      CASE {" ".join(
+          f"WHEN hits_{lang} > 0 AND hits_{lang} = best THEN '{lang}'"
+          for lang in _LANG_SQL_WORDS
+      )} ELSE 'und' END AS lang_guess
+    FROM h ORDER BY doc_id
+"""
+
+
+@_q("text_quality_stats", _QUALITY_ORACLE)
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + language ID + fingerprint (pure Column exprs)."""
+    """Quality scoring + language ID (pure Column exprs, single-pass)."""
     from go_crawler_spark.functions.textstats import with_text_stats
 
     d = _read(spark, sf_dir, "documents")
@@ -521,8 +726,33 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round("quality_score", 6).alias("quality_score"),
         "lang_guess",
-        "fingerprint",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators: rows-only checks (no oracle entry)
+# ---------------------------------------------------------------------------
+
+
+@_q("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs.  No SQL oracle: the 64-bit signature is a
+    blake2b-based bit vote (not expressible in DuckDB); correctness is
+    pytest-covered (known cases + exact all-pairs hamming equivalence)."""
+    from go_crawler_spark.functions.dedup import simhash_near_dups
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@_q("doc_fingerprints")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle rolling-hash fingerprints (xxhash64-based; rows-only —
+    deterministic, pytest-covered)."""
+    from go_crawler_spark.functions.textstats import fingerprint_col
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_col("text")).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
