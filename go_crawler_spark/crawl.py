@@ -123,14 +123,24 @@ class Crawler:
         self,
         spark: SparkSession,
         warehouse: str,
-        pages: DataFrame,
+        pages: DataFrame | None = None,
         config: CrawlConfig | None = None,
         host_budgets: DataFrame | None = None,
         robots: DataFrame | None = None,
+        fetch_fn=None,
     ):
+        """``fetch_fn`` (DataFrame -> DataFrame) replaces the synthetic
+        fetch join with a real fetch stage — e.g.
+        ``operators.httpfetch.http_fetch_fn(...)`` for live HTTP.  It
+        receives the politeness-selected, prefetch-filtered frontier
+        slice and must return it + (html, status, content_type), already
+        F3/F4-filtered; unreturned rows are marked as failed attempts."""
+        if pages is None and fetch_fn is None:
+            raise ValueError("need a pages table or a fetch_fn")
         self.spark = spark
         self.lake = Lakehouse(spark, warehouse)
-        self.pages = prepare_pages(pages)
+        self.pages = prepare_pages(pages) if pages is not None else None
+        self.fetch_fn = fetch_fn or (lambda sel: fetch_join(sel, self.pages))
         self.cfg = config or CrawlConfig()
         self.host_budgets = host_budgets
         self.robots = robots
@@ -284,6 +294,13 @@ class Crawler:
         cfg = self.cfg
         pass_ts = _now()
         t0 = time.time()
+        phases: dict[str, float] = {}
+
+        def mark(name: str, since: float) -> float:
+            now = time.time()
+            phases[name] = round(now - since, 3)
+            return now
+
         frontier = self.read_frontier()
 
         due = due_filter(frontier, pass_ts, cfg.reindex_threshold_days).where(
@@ -299,7 +316,7 @@ class Crawler:
         selected = robots_filter(selected, self.robots).persist()
         attempted = prefetch_filter(selected)
 
-        fetched = fetch_join(attempted, self.pages)
+        fetched = self.fetch_fn(attempted)
         # Explicit repartition before the extraction UDF: without it the
         # heavy Python stage inherits whatever partitioning the fetch join
         # produced (often the pages table's few parquet splits after AQE
@@ -388,11 +405,14 @@ class Crawler:
             F.lit(None).cast("double").alias("pagerank"),
         )
         snaps = {}
+        t_ph = time.time()
         snaps["documents"], n_fetched = self.lake.append_counted(tables.DOCUMENTS, docs)
+        t_ph = mark("docs_write", t_ph)
 
         # -- sink 2: newly discovered URLs (materializes out_links+new_rows;
         # separate append => its footer count is the new_urls metric) -------
         _, n_new = self.lake.append_counted(tables.FRONTIER, new_rows)
+        t_ph = mark("new_urls_write", t_ph)
 
         # Remaining sinks read only cached inputs and hit three different
         # tables — run them as concurrent Spark jobs (the reference's
@@ -450,6 +470,7 @@ class Crawler:
             snaps["frontier"], n_selected = f_marks.result()
             snaps["edges"] = f_edges.result()
             bloom_snap = f_bloom.result()
+        t_ph = mark("marks_edges_bloom", t_ph)
         if cfg.use_bloom:
             snaps["bloom"] = bloom_snap
             # lazy read-back: shallow lineage for the next iteration's
@@ -458,12 +479,14 @@ class Crawler:
 
         for df in (selected, extracted, out_links, new_rows):
             df.unpersist()
+        mark("unpersist", t_ph)
 
         metrics = {
             "selected": n_selected,
             "fetched": n_fetched,
             "new_urls": n_new,
             "elapsed_sec": round(time.time() - t0, 3),
+            "phases": phases,
         }
         self._checkpoint(iteration, snaps, metrics)
         self.metrics.append({"iteration": iteration, **metrics})

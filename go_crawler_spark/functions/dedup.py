@@ -349,32 +349,104 @@ def hyperplane_signature_udf(dim: int, num_planes: int = 16, seed: int = 42):
     return sig
 
 
+def hyperplane_bands_udf(
+    dim: int, num_bands: int = 8, planes_per_band: int = 16, seed: int = 42
+):
+    """Pandas UDF: embedding -> array<long> of per-band bit-signatures.
+
+    AND/OR construction: each band is the AND of ``planes_per_band``
+    hyperplane sides (one 16-bit signature); candidacy is the OR over
+    ``num_bands`` independent bands.  One n x (bands*r) matmul per batch.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_bands * planes_per_band)).astype(np.float32)
+    weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())  # n x dim
+        bits = (mat @ planes) > 0  # n x (bands*r)
+        sigs = (bits.reshape(len(mat), num_bands, planes_per_band) * weights).sum(
+            axis=2
+        )  # n x bands
+        return pd.Series(list(sigs.astype(np.int64)))
+
+    return sig
+
+
+def choose_hyperplane_bands(
+    cosine_threshold: float,
+    planes_per_band: int = 16,
+    target_recall: float = 0.95,
+    max_bands: int = 64,
+) -> int:
+    """Bands needed so a pair AT the cosine threshold is a candidate with
+    probability >= ``target_recall`` (higher-cosine pairs recall higher).
+
+    Per-plane collision probability for cosine c is 1 - acos(c)/pi
+    (Goemans-Williamson / Charikar SimHash bound); a band matches with
+    p^r; recall over b bands is 1 - (1-p^r)^b.
+    """
+    import math
+
+    c = min(max(cosine_threshold, -1.0), 1.0)
+    p = 1.0 - math.acos(c) / math.pi
+    pr = p**planes_per_band
+    if pr >= 1.0:
+        return 1
+    if pr <= 0.0:
+        return max_bands
+    b = math.ceil(math.log(max(1.0 - target_recall, 1e-12)) / math.log(1.0 - pr))
+    return max(1, min(b, max_bands))
+
+
 def embedding_near_dups(
     df: DataFrame,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
-    num_planes: int = 16,
+    num_bands: int | None = None,
+    planes_per_band: int = 16,
     cosine_threshold: float = 0.95,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
 
-    LSH bucket join on the hyperplane signature (vectors this similar
-    almost surely share the exact signature), then exact cosine verify.
+    Multi-band hyperplane LSH: equi-join on (band_idx, band_sig) proposes
+    candidates (ids only ride the join — embeddings re-join onto the
+    deduped pair set), exact cosine verifies.  A single wide signature
+    would put a dup-heavy corpus into few buckets (quadratic within-bucket
+    join); r-bit bands keep every band's bucket count at 2^r while the
+    OR over bands holds recall (>= ``target_recall`` at the threshold via
+    ``choose_hyperplane_bands`` when ``num_bands=None``).
     """
     if dim is None:
         dim = len(df.select(emb_col).first()[0])
-    sig = hyperplane_signature_udf(dim, num_planes)
+    if num_bands is None:
+        num_bands = choose_hyperplane_bands(cosine_threshold, planes_per_band)
+    sig = hyperplane_bands_udf(dim, num_bands, planes_per_band)
     s = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb")).withColumn(
-        "bucket", sig(F.col("emb"))
+        "bands", sig(F.col("emb"))
     )
-    a, b = s.alias("a"), s.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        cosine_col(F.col("a.emb"), F.col("b.emb")).alias("cosine"),
+    banded = s.select(
+        "id", F.posexplode("bands").alias("band_idx", "band_sig")
     )
-    return cand.where(F.col("cosine") >= cosine_threshold)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    emb = s.select("id", "emb")
+    verified = (
+        cand.join(emb.select(F.col("id").alias("id_a"), F.col("emb").alias("emb_a")), "id_a")
+        .join(emb.select(F.col("id").alias("id_b"), F.col("emb").alias("emb_b")), "id_b")
+        .select(
+            "id_a", "id_b", cosine_col(F.col("emb_a"), F.col("emb_b")).alias("cosine")
+        )
+    )
+    return verified.where(F.col("cosine") >= cosine_threshold)

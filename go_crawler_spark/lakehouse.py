@@ -47,6 +47,19 @@ class TableSpec:
     schema: T.StructType
     # Spark partitionBy columns for snapshot data dirs (bucket pruning).
     partition_by: list[str] = field(default_factory=list)
+    # Iceberg-style bucket layout: data dirs are partitioned by
+    # pmod(bucket_hash_col, num_buckets) and the manifest tracks PER-BUCKET
+    # dirs, so merge/compact rewrite only touched buckets (the Iceberg
+    # ``bucket(N, col)`` partition transform + rewrite_data_files shape).
+    bucket_hash_col: str | None = None
+    num_buckets: int = 0
+
+    @property
+    def bucketed(self) -> bool:
+        return bool(self.bucket_hash_col) and self.num_buckets > 0
+
+    def with_buckets(self, hash_col: str, n: int) -> "TableSpec":
+        return TableSpec(self.name, self.schema, list(self.partition_by), hash_col, n)
 
 
 def bucket_col(hash_col: str, num_buckets: int) -> F.Column:
@@ -98,15 +111,26 @@ class Lakehouse:
 
     # -- read ---------------------------------------------------------------
 
-    def read(self, spec: TableSpec, snapshot_id: str | None = None) -> DataFrame:
+    def read(
+        self,
+        spec: TableSpec,
+        snapshot_id: str | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot; ``buckets`` prunes a bucketed table to the
+        named buckets at the MANIFEST level (no file even listed — the
+        Iceberg partition-pruning contract)."""
         m = self._read_manifest(spec.name)
         snap = snapshot_id or m["current"]
         if snap is None:
             return self.spark.createDataFrame([], spec.schema)
-        dirs = [
-            os.path.join(self._table_dir(spec.name), d)
-            for d in m["snapshots"][snap]["data_dirs"]
-        ]
+        rel_dirs = m["snapshots"][snap]["data_dirs"]
+        if buckets is not None:
+            want = {f"_bucket={b}" for b in buckets}
+            rel_dirs = [d for d in rel_dirs if os.path.basename(d) in want]
+        if not rel_dirs:
+            return self.spark.createDataFrame([], spec.schema)
+        dirs = [os.path.join(self._table_dir(spec.name), d) for d in rel_dirs]
         df = self.spark.read.schema(_read_schema(spec)).parquet(*dirs)
         return df.select(*[f.name for f in spec.schema.fields])
 
@@ -120,6 +144,32 @@ class Lakehouse:
             writer = writer.partitionBy(*spec.partition_by)
         writer.parquet(path)
         return data_dir
+
+    def _new_bucketed_dirs(self, name: str, df: DataFrame, spec: TableSpec) -> list[str]:
+        """Write a bucketed data dir; returns the PER-BUCKET relative dirs.
+
+        Rows are clustered by bucket before the write (one file per
+        touched bucket, not tasks x buckets files) and the manifest gets
+        one entry per bucket so later merges/compactions can swap
+        individual buckets while untouched buckets keep their exact files.
+        """
+        data_dir = f"data-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self._table_dir(name), data_dir)
+        (
+            df.withColumn(
+                "_bucket", bucket_col(spec.bucket_hash_col, spec.num_buckets)
+            )
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(path)
+        )
+        out = sorted(
+            os.path.join(data_dir, d)
+            for d in os.listdir(path)
+            if d.startswith("_bucket=")
+        )
+        return out
 
     def _commit(self, spec: TableSpec, data_dirs: list[str], op: str) -> str:
         m = self._read_manifest(spec.name)
@@ -135,6 +185,9 @@ class Lakehouse:
         return snap_id
 
     def overwrite(self, spec: TableSpec, df: DataFrame) -> str:
+        if spec.bucketed:
+            dirs = self._new_bucketed_dirs(spec.name, _conform(df, spec), spec)
+            return self._commit(spec, dirs, "overwrite")
         d = self._new_data_dir(spec.name, _conform(df, spec), spec)
         return self._commit(spec, [d], "overwrite")
 
@@ -154,6 +207,14 @@ class Lakehouse:
         parent_dirs = (
             m["snapshots"][m["current"]]["data_dirs"] if m["current"] else []
         )
+        if spec.bucketed:
+            new_dirs = self._new_bucketed_dirs(spec.name, _conform(df, spec), spec)
+            snap = self._commit(spec, parent_dirs + new_dirs, "append")
+            n = sum(
+                rows_in_dir(os.path.join(self._table_dir(spec.name), d))
+                for d in new_dirs
+            )
+            return snap, n
         d = self._new_data_dir(spec.name, _conform(df, spec), spec)
         snap = self._commit(spec, parent_dirs + [d], "append")
         return snap, rows_in_dir(os.path.join(self._table_dir(spec.name), d))
@@ -177,11 +238,25 @@ class Lakehouse:
           reindex (indexer/store/es/es.go:128-154).
         Everything else: new value wins; unmatched update rows insert.
 
-        Sandbox implementation: full outer-join rewrite.  Iceberg path:
-        ``MERGE INTO t USING u ON t.k = u.k WHEN MATCHED ... ``.
+        Unbucketed: full outer-join rewrite.  Bucketed spec: only the
+        buckets the update delta touches are read, merged, and rewritten —
+        untouched buckets keep their exact files (Iceberg ``MERGE INTO``
+        on a bucket-partitioned table).
         """
-        old = self.read(spec)
         upd = _conform(updates, spec).dropDuplicates(key_cols)
+        touched: list[int] | None = None
+        if spec.bucketed:
+            touched = sorted(
+                r[0]
+                for r in upd.select(
+                    bucket_col(spec.bucket_hash_col, spec.num_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            old = self.read(spec, buckets=touched)
+        else:
+            old = self.read(spec)
         o, u = old.alias("o"), upd.alias("u")
         cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"u.{k}")) for k in key_cols]
         joined = o.join(u, cond, "full_outer")
@@ -204,7 +279,52 @@ class Lakehouse:
             else:
                 expr = F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"o.{c}"))
             cols.append(expr.alias(c))
-        return self.overwrite(spec, joined.select(*cols))
+        merged = joined.select(*cols)
+        if spec.bucketed:
+            m = self._read_manifest(spec.name)
+            cur_dirs = (
+                m["snapshots"][m["current"]]["data_dirs"] if m["current"] else []
+            )
+            want = {f"_bucket={b}" for b in (touched or [])}
+            keep = [d for d in cur_dirs if os.path.basename(d) not in want]
+            new_dirs = self._new_bucketed_dirs(spec.name, _conform(merged, spec), spec)
+            return self._commit(spec, keep + new_dirs, "merge")
+        return self.overwrite(spec, merged)
+
+    def compact_table(self, spec: TableSpec, reconcile=None) -> str:
+        """MoR maintenance (Iceberg ``rewrite_data_files``).
+
+        Bucketed spec: ONLY buckets whose data spans more than one data
+        dir are reconciled and rewritten; a single-dir bucket has no read
+        amplification and its files are reused byte-identical.  Cost is
+        O(appended-to buckets), sublinear in table size.  ``reconcile``
+        (DataFrame -> DataFrame) must be key-local per bucket hash —
+        true for every per-key reconcile in this engine.
+        """
+        if not spec.bucketed:
+            df = self.read(spec)
+            if reconcile is not None:
+                df = reconcile(df)
+            return self.overwrite(spec, df)
+        m = self._read_manifest(spec.name)
+        if m["current"] is None:
+            return self.overwrite(spec, self.spark.createDataFrame([], spec.schema))
+        dirs = m["snapshots"][m["current"]]["data_dirs"]
+        from collections import Counter
+
+        per_bucket = Counter(os.path.basename(d) for d in dirs)
+        touched = sorted(
+            int(b.split("=", 1)[1]) for b, c in per_bucket.items() if c > 1
+        )
+        if not touched:
+            return m["current"]  # every bucket already single-dir
+        df = self.read(spec, buckets=touched)
+        if reconcile is not None:
+            df = reconcile(df)
+        new_dirs = self._new_bucketed_dirs(spec.name, _conform(df, spec), spec)
+        want = {f"_bucket={b}" for b in touched}
+        keep = [d for d in dirs if os.path.basename(d) not in want]
+        return self._commit(spec, keep + new_dirs, "compact")
 
     def delete_where(self, spec: TableSpec, condition: F.Column) -> str:
         """Anti-delete rewrite (RemoveStaleEdges, graph/graph.go:43)."""

@@ -1,0 +1,178 @@
+"""Async HTTP fetch operator — the real-network fetch stage.
+
+The reference fetches per-URL with a worker pool over ``net/http``
+(crawler/link_fetcher.go:28-67, pipeline/runners/fixed_worker_pool.go).
+Here each Spark partition runs ONE asyncio event loop issuing HTTP/1.x
+GETs over raw asyncio streams (stdlib-only: the runtime ships no aiohttp):
+
+* a per-partition concurrency cap — the reference's pool size — bounds
+  sockets per executor core;
+* a per-host semaphore caps simultaneous connections to any one host,
+  composing with the frontier's salted politeness partitioning (a host's
+  URLs arrive grouped into few partitions, so the cap binds globally);
+* fetch errors (refused / timeout / malformed) drop the row — exactly the
+  fetch-join contract, where the caller computes failures as
+  ``selected MINUS returned`` and marks the attempt.
+
+Output schema = input columns + (html binary, status int, content_type
+string), post-filtered by F3 (2xx) and F4 (Content-Type contains "html")
+— link_fetcher.go:52-59 — so it is a drop-in replacement for
+``fetch_join``:  ``Crawler(..., fetch_fn=http_fetch_fn(...))``.
+
+``resolve(host, port) -> (connect_host, connect_port)`` stands in for
+DNS/proxying; tests point every golden-web host at a local socket server.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Callable, Iterator
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+_CRLF = b"\r\n"
+
+
+async def _get_one(
+    url: str,
+    resolve: Callable[[str, int], tuple[str, int]] | None,
+    timeout: float,
+) -> tuple[int, str, bytes]:
+    parts = urlsplit(url)
+    host, port = parts.hostname or "", parts.port or 80
+    chost, cport = resolve(host, port) if resolve else (host, port)
+    reader, writer = await asyncio.wait_for(
+        asyncio.open_connection(chost, cport), timeout
+    )
+    try:
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        req = (
+            f"GET {path} HTTP/1.1\r\nHost: {host}\r\n"
+            "Connection: close\r\nUser-Agent: gcs-crawler/1.0\r\nAccept: */*\r\n\r\n"
+        )
+        writer.write(req.encode("latin1"))
+        await writer.drain()
+        raw = await asyncio.wait_for(reader.read(-1), timeout)
+    finally:
+        writer.close()
+        try:
+            await writer.wait_closed()
+        except Exception:
+            pass
+    head, sep, body = raw.partition(b"\r\n\r\n")
+    if not sep:
+        raise ValueError("malformed HTTP response")
+    lines = head.split(_CRLF)
+    status = int(lines[0].split()[1])
+    ctype, chunked, clen = "", False, None
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        k = k.strip().lower()
+        if k == b"content-type":
+            ctype = v.strip().decode("latin1")
+        elif k == b"transfer-encoding" and b"chunked" in v.lower():
+            chunked = True
+        elif k == b"content-length":
+            try:
+                clen = int(v.strip())
+            except ValueError:
+                pass
+    if chunked:
+        body = _dechunk(body)
+    elif clen is not None:
+        body = body[:clen]
+    return status, ctype, body
+
+
+def _dechunk(body: bytes) -> bytes:
+    out, i = bytearray(), 0
+    while i < len(body):
+        j = body.find(_CRLF, i)
+        if j < 0:
+            break
+        try:
+            n = int(body[i:j].split(b";")[0], 16)
+        except ValueError:
+            break
+        if n == 0:
+            break
+        out += body[j + 2 : j + 2 + n]
+        i = j + 2 + n + 2
+    return bytes(out)
+
+
+async def _fetch_batch(
+    urls: list[str],
+    resolve,
+    timeout: float,
+    per_host: int,
+    max_concurrency: int,
+) -> list[tuple[int, str, bytes] | None]:
+    pool = asyncio.Semaphore(max_concurrency)
+    host_sems: dict[str, asyncio.Semaphore] = {}
+
+    async def one(u: str):
+        host = urlsplit(u).hostname or ""
+        sem = host_sems.setdefault(host, asyncio.Semaphore(per_host))
+        async with pool, sem:
+            try:
+                return await _get_one(u, resolve, timeout)
+            except Exception:
+                return None  # dropped: caller marks the attempt as failed
+
+    return list(await asyncio.gather(*(one(u) for u in urls)))
+
+
+def http_fetch_fn(
+    resolve: Callable[[str, int], tuple[str, int]] | None = None,
+    timeout_sec: float = 5.0,
+    per_host: int = 2,
+    max_concurrency: int = 64,
+) -> Callable[[DataFrame], DataFrame]:
+    """Build a fetch stage: selected frontier slice -> fetched rows.
+
+    Drop-in for the synthetic join: same output contract as
+    ``fetch_join`` (input cols + html/status/content_type, F3/F4
+    filtered).
+    """
+
+    def fetch(selected: DataFrame) -> DataFrame:
+        in_fields = selected.schema.fields
+        out_schema = T.StructType(
+            list(in_fields)
+            + [
+                T.StructField("html", T.BinaryType()),
+                T.StructField("status", T.IntegerType()),
+                T.StructField("content_type", T.StringType()),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                urls = pdf["url"].tolist()
+                res = asyncio.run(
+                    _fetch_batch(urls, resolve, timeout_sec, per_host, max_concurrency)
+                )
+                ok = [i for i, r in enumerate(res) if r is not None]
+                if not ok:
+                    continue
+                out = pdf.iloc[ok].copy()
+                out["status"] = [res[i][0] for i in ok]
+                out["content_type"] = [res[i][1] for i in ok]
+                out["html"] = [res[i][2] for i in ok]
+                yield out[[f.name for f in out_schema.fields]]
+
+        fetched = selected.mapInPandas(run, out_schema)
+        return fetched.where(
+            F.col("status").between(200, 299) & F.col("content_type").contains("html")
+        )
+
+    return fetch

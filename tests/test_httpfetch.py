@@ -1,0 +1,114 @@
+"""Golden-web crawl through the REAL async-HTTP fetch path.
+
+Spins up a local threading HTTP server standing in for the reference
+integration test's two ``httptest`` servers (crawler_integration_test.go:
+23-41); every golden-web host resolves to it, routing by Host header.
+The crawl through ``http_fetch_fn`` must produce the exact link set,
+documents, and edges the fetch-join path produces.
+"""
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from go_crawler_spark import fixtures
+from go_crawler_spark.crawl import Crawler, CrawlConfig
+from go_crawler_spark.operators.httpfetch import http_fetch_fn
+
+# (host, path) -> (status, content_type, body); everything else 404s,
+# mirroring the fetch-join behavior where unknown URLs fetch nothing.
+ROUTES = {
+    ("srv1.test", "/"): (200, "application/xhtml", fixtures.GOLDEN_SERVER_RES),
+    ("srv2.test", "/"): (200, "application/xhtml", fixtures.GOLDEN_SERVER_RES),
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_GET(self):
+        host = (self.headers.get("Host") or "").rsplit(":", 1)[0]
+        hit = ROUTES.get((host, self.path))
+        if hit is None:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        status, ctype, body = hit
+        data = body.encode("utf-8")
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def golden_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address[1]
+    srv.shutdown()
+
+
+def test_golden_web_over_http(spark, tmp_warehouse, golden_server):
+    port = golden_server
+
+    def resolve(host, p):  # the test's DNS: every host is the local server
+        return ("127.0.0.1", port)
+
+    crawler = Crawler(
+        spark,
+        tmp_warehouse,
+        pages=None,
+        config=CrawlConfig(max_iterations=5, bloom_buckets=4),
+        fetch_fn=http_fetch_fn(resolve=resolve, timeout_sec=10.0),
+    )
+    crawler.run(seed_urls=["http://srv1.test", "http://srv2.test"])
+
+    frontier = {r.url: r.discovered_iter for r in crawler.read_frontier().collect()}
+    assert set(frontier) == {
+        "http://srv1.test",
+        "http://srv2.test",
+        "http://google.com/absolute/path",
+        "http://google.com/relative",
+        "http://google.com/ignore-me",
+    }
+
+    docs = {r.url: r for r in crawler.read_documents().collect()}
+    assert set(docs) == {"http://srv1.test", "http://srv2.test"}
+    for d in docs.values():
+        assert d.title == fixtures.GOLDEN_EXPECTED_TITLE
+        assert d.text == fixtures.GOLDEN_EXPECTED_TEXT
+
+    by_hash = {r.url_hash: r.url for r in crawler.read_frontier().collect()}
+    edges = {
+        (by_hash[r.src_hash], by_hash[r.dst_hash])
+        for r in crawler.read_edges().collect()
+    }
+    assert edges == {
+        (s, d)
+        for s in ("http://srv1.test", "http://srv2.test")
+        for d in ("http://google.com/relative", "http://google.com/absolute/path")
+    }
+
+
+def test_http_fetch_per_host_cap_and_errors(spark, golden_server):
+    """Concurrency caps hold and connection errors drop rows (not crash)."""
+    port = golden_server
+
+    def resolve(host, p):
+        if host == "down.test":
+            return ("127.0.0.1", 1)  # closed port -> refused
+        return ("127.0.0.1", port)
+
+    rows = [("http://srv1.test", i) for i in range(20)] + [
+        ("http://down.test/x", 99)
+    ]
+    df = spark.createDataFrame(rows, "url string, rid int").coalesce(2)
+    out = http_fetch_fn(resolve=resolve, per_host=2, timeout_sec=10.0)(df).collect()
+    assert len(out) == 20  # down.test dropped, all srv1 fetched
+    assert all(b"A title" in bytes(r.html) for r in out)

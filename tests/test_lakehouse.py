@@ -79,3 +79,102 @@ def test_delete_where(spark, tmp_warehouse):
     lake.delete_where(tables.URL_SEEN, F.col("retrieved_at") < F.lit(T1))
     got = [r.url_hash for r in lake.read(tables.URL_SEEN).collect()]
     assert got == [2]
+
+
+# -- bucket-partitioned tables: touched-bucket-only rewrites -----------------
+
+
+def _bucketed_spec(n=8):
+    return tables.URL_SEEN.with_buckets("url_hash", n)
+
+
+def _dirs_of(lake, spec):
+    m = lake._read_manifest(spec.name)
+    return list(m["snapshots"][m["current"]]["data_dirs"])
+
+
+def _bucket_files(lake, spec):
+    """{bucket_dir_rel: {file: (size, mtime_ns)}} for the current snapshot."""
+    import os
+
+    out = {}
+    for d in _dirs_of(lake, spec):
+        full = os.path.join(lake._table_dir(spec.name), d)
+        out[d] = {
+            f: (os.path.getsize(os.path.join(full, f)),
+                os.stat(os.path.join(full, f)).st_mtime_ns)
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_bucketed_merge_touches_only_update_buckets(spark, tmp_warehouse):
+    spec = _bucketed_spec(8)
+    lake = Lakehouse(spark, tmp_warehouse)
+    base = [(i, f"http://h/{i}", T0) for i in range(32)]
+    lake.overwrite(spec, _seen(spark, base))
+    before = _bucket_files(lake, spec)
+    assert len(before) == 8  # one manifest entry per bucket
+
+    # update touches exactly buckets pmod({3, 11}, 8) = {3}
+    lake.merge_upsert(
+        spec, _seen(spark, [(3, "http://h/3", T2), (11, "http://h/11", T2)]),
+        ["url_hash"], greatest_cols=["retrieved_at"],
+    )
+    after = _bucket_files(lake, spec)
+    changed = {d for d in after if after[d] != before.get(d)}
+    assert all(d.endswith("_bucket=3") for d in changed) and changed
+    # untouched buckets: identical files (same path, size, mtime)
+    for d in before:
+        if not d.endswith("_bucket=3"):
+            assert after[d] == before[d]
+    got = {
+        r.url_hash: r.retrieved_at.replace(tzinfo=timezone.utc)
+        for r in lake.read(spec).collect()
+    }
+    assert len(got) == 32 and got[3] == T2 and got[11] == T2 and got[4] == T0
+
+
+def test_bucketed_compact_reuses_untouched_buckets(spark, tmp_warehouse):
+    spec = _bucketed_spec(8)
+    lake = Lakehouse(spark, tmp_warehouse)
+    lake.overwrite(spec, _seen(spark, [(i, f"http://h/{i}", T0) for i in range(32)]))
+    # appends land only in buckets {1, 2}
+    lake.append(spec, _seen(spark, [(9, "http://h/9b", T1), (10, "http://h/10b", T1)]))
+    before = _bucket_files(lake, spec)
+
+    def reconcile(df):
+        return df.groupBy("url_hash").agg(
+            F.max("url").alias("url"), F.max("retrieved_at").alias("retrieved_at")
+        ).select("url_hash", "url", "retrieved_at")
+
+    lake.compact_table(spec, reconcile)
+    after = _bucket_files(lake, spec)
+    # buckets 1,2 consolidated to one dir each; others reference the SAME files
+    for d, files in before.items():
+        b = d.rsplit("=", 1)[1]
+        if b in ("1", "2"):
+            continue
+        assert after[d] == files, f"untouched bucket rewritten: {d}"
+    assert sum(1 for d in after if d.endswith("_bucket=1")) == 1
+    assert sum(1 for d in after if d.endswith("_bucket=2")) == 1
+    rows = {r.url_hash: r.url for r in lake.read(spec).collect()}
+    assert rows[9] == "http://h/9b" and rows[10] == "http://h/10b"
+    assert len(rows) == 32
+
+    # idempotent: a second compact with nothing to do commits nothing new
+    snap = lake.current_snapshot(spec.name)
+    assert lake.compact_table(spec, reconcile) == snap
+
+
+def test_bucketed_read_prunes_to_buckets(spark, tmp_warehouse):
+    spec = _bucketed_spec(8)
+    lake = Lakehouse(spark, tmp_warehouse)
+    lake.overwrite(spec, _seen(spark, [(i, f"http://h/{i}", T0) for i in range(32)]))
+    only = lake.read(spec, buckets=[5])
+    got = {r.url_hash for r in only.collect()}
+    assert got == {5, 13, 21, 29}  # pmod(h, 8) == 5
+    # pruning happens at the manifest level: the plan reads 1 dir not 8
+    assert "_bucket=5" in only.inputFiles()[0]
+    assert len({f.rsplit("/", 2)[1] for f in only.inputFiles()}) == 1

@@ -141,6 +141,66 @@ def test_embedding_near_dups_and_cosine(spark):
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
 
 
+def test_embedding_multiband_recall_and_bucket_bound(spark):
+    """Multi-band AND/OR LSH: near-threshold recall must beat a single
+    16-plane band, while band selectivity stays at 2^r granularity (a
+    clustered corpus must not collapse into a handful of buckets)."""
+    rng = np.random.default_rng(7)
+    dim, thr = 32, 0.95
+    base = rng.standard_normal(dim)
+    base /= np.linalg.norm(base)
+    rows, true_pairs = [], set()
+    for i in range(40):  # clustered: pairs straddling the threshold
+        noise = rng.standard_normal(dim)
+        noise -= noise @ base * base
+        noise /= np.linalg.norm(noise)
+        target = 0.955 + 0.02 * rng.random()
+        v = target * base + np.sqrt(1 - target**2) * noise
+        rows.append((i, [float(x) for x in v]))
+    for j in range(40, 80):  # background
+        v = rng.standard_normal(dim)
+        rows.append((j, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # ground truth: exact all-pairs cosine
+    mat = np.stack([np.array(r[1]) for r in rows])
+    sims = mat @ mat.T
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if sims[i, j] >= thr:
+                true_pairs.add((i, j))
+    assert len(true_pairs) >= 40  # the cluster is dense
+
+    found = {
+        (p.id_a, p.id_b)
+        for p in dedup.embedding_near_dups(
+            df, dim=dim, cosine_threshold=thr
+        ).collect()
+    }
+    assert found <= true_pairs  # exact verify: no false positives
+    recall = len(found) / len(true_pairs)
+    single = {
+        (p.id_a, p.id_b)
+        for p in dedup.embedding_near_dups(
+            df, dim=dim, num_bands=1, planes_per_band=16, cosine_threshold=thr
+        ).collect()
+    }
+    assert recall >= 0.9
+    assert recall > len(single) / len(true_pairs)  # OR over bands helps
+
+    # selectivity: every band keys on a full r-bit signature, so two
+    # orthogonal background vectors almost never share a bucket
+    b = dedup.choose_hyperplane_bands(thr, 16)
+    sig = dedup.hyperplane_bands_udf(dim, b, 16)
+    banded = (
+        df.select(F.posexplode(sig(F.col("embedding"))).alias("band_idx", "band_sig"))
+        .groupBy("band_idx", "band_sig")
+        .count()
+    )
+    max_bucket = banded.agg(F.max("count")).first()[0]
+    assert max_bucket <= 45  # ~ cluster size; background never merges in
+
+
 def test_brute_force_topk_oracle(spark, embeddings):
     """Exact cosine top-k must match a numpy oracle on real testdata."""
     rows = embeddings.select("vec_id", "embedding").collect()
