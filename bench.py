@@ -80,6 +80,9 @@ def bench_crawl(spark, n_pages: int) -> tuple[float, float]:
             bloom_capacity_per_bucket=max(n_pages // 16, 1000),
             default_host_budget=max(n_pages // 3, 500),
             salt_buckets=16,
+            # skew-free politeness: the bench corpus has a 40% mega-host;
+            # a global per-host top-k would single-task it (frontier.py)
+            politeness_mode="salted_quota",
         )
         crawler = Crawler(spark, wh, pages, cfg)
         # steady-state measurement: seed ~1% of the corpus (a 10^10 frontier

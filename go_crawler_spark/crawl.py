@@ -70,6 +70,7 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     use_bloom: bool = True
     compact_interval: int = 8  # MoR maintenance cadence (iterations)
+    politeness_mode: str = "exact"  # or "salted_quota" (see frontier.py)
     seed_priority: float = 1.0
     # child priority = parent_depth decay (priority-ordered frontier)
     priority_decay: float = 0.5
@@ -139,17 +140,39 @@ class Crawler:
             raise ValueError("need a pages table or a fetch_fn")
         self.spark = spark
         self.lake = Lakehouse(spark, warehouse)
-        self.pages = prepare_pages(pages) if pages is not None else None
+        self.shuffle_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        # Cache the prepared corpus ONCE, hash-partitioned on the join key.
+        # Without the cache every iteration re-scans the pages parquet AND
+        # re-runs the per-url dedup window (a full shuffle of the html
+        # payload); with the explicit url_hash partitioning the per-
+        # iteration fetch join is CO-PARTITIONED — no pages exchange, no
+        # driver-side broadcast build (broadcast builds were a serial
+        # ~1-2s/iteration floor that killed N->4N scaling).  On a real
+        # crawl fetch is network-bound and there is no pages table at all.
+        self.pages = (
+            prepare_pages(pages)
+            .repartition(self.shuffle_partitions, "url_hash")
+            .persist()
+            if pages is not None
+            else None
+        )
         self.fetch_fn = fetch_fn or (lambda sel: fetch_join(sel, self.pages))
+        # default join path keeps url_hash partitioning through the fetch
+        # join, so the extract stage needs no extra repartition
+        self._fetch_copartitioned = fetch_fn is None and pages is not None
         self.cfg = config or CrawlConfig()
         self.host_budgets = host_budgets
         self.robots = robots
         self.state_path = os.path.join(warehouse, STATE_FILE)
         self.metrics: list[dict] = []
         self._bloom: DataFrame | None = None  # in-memory Bloom shards
-        self.shuffle_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
+        # In-memory reconciled frontier (one row per url_hash), refreshed
+        # per iteration via localCheckpoint: iterations read THIS instead
+        # of re-scanning + re-reconciling the growing appended table from
+        # disk (the appends stay — they are the durability/resume story).
+        self._frontier: DataFrame | None = None
 
     # -- state / checkpointing ----------------------------------------------
 
@@ -186,6 +209,7 @@ class Crawler:
         for name, snap in record["snapshots"].items():
             self.lake.set_current_snapshot(name, snap)
         self._bloom = None  # reload lazily from the pinned snapshot
+        self._frontier = None  # re-reconcile from the pinned snapshot
 
     # -- seeding --------------------------------------------------------------
 
@@ -223,15 +247,15 @@ class Crawler:
         ).localCheckpoint(eager=True)
         snaps["bloom"] = self.lake.overwrite(BLOOM_TABLE, bloom)
         self._bloom = bloom  # kept hot across iterations; disk is checkpoint
+        self._frontier = seeds.localCheckpoint(eager=True)
         self._checkpoint(0, snaps, {"seeds": len(canon)})
 
     # -- merge-on-read reconciled readers ------------------------------------
 
-    def read_frontier(self) -> DataFrame:
-        """Reconcile appended frontier deltas: one row per url_hash with
-        greatest timestamps (J1 GREATEST semantics) and first-discovery
-        priority/depth."""
-        raw = self.lake.read(tables.FRONTIER)
+    @staticmethod
+    def _reconcile_frontier(raw: DataFrame) -> DataFrame:
+        """One row per url_hash with greatest timestamps (J1 GREATEST
+        semantics) and first-discovery priority/depth."""
         return raw.groupBy("url_hash").agg(
             F.first("url").alias("url"),
             F.first("host").alias("host"),
@@ -240,6 +264,14 @@ class Crawler:
             F.max("retrieved_at").alias("retrieved_at"),
             F.max("last_attempt").alias("last_attempt"),
         )
+
+    def read_frontier(self) -> DataFrame:
+        """The reconciled frontier: the hot in-memory copy when the loop
+        is running, else reconciled from the appended disk deltas (fresh
+        Crawler / resume)."""
+        if self._frontier is not None:
+            return self._frontier
+        return self._reconcile_frontier(self.lake.read(tables.FRONTIER))
 
     def read_edges(self) -> DataFrame:
         """Reconcile edges: per source, only the latest crawl's edge set
@@ -278,14 +310,20 @@ class Crawler:
 
     def compact(self, iteration: int) -> None:
         """MoR maintenance: rewrite each state table reconciled (bounds
-        read amplification; Iceberg analog: rewrite_data_files)."""
+        read amplification; Iceberg analog: rewrite_data_files), and
+        flush the in-memory Bloom shards to disk (its durable cadence —
+        see refresh_bloom for why staleness in between is safe)."""
         snaps = {
             "frontier": self.lake.overwrite(tables.FRONTIER, self.read_frontier()),
             "edges": self.lake.overwrite(tables.EDGES, self.read_edges()),
             "documents": self.lake.overwrite(tables.DOCUMENTS, self.read_documents()),
         }
         if self.cfg.use_bloom:
-            snaps["bloom"] = self.lake.current_snapshot("bloom")
+            snaps["bloom"] = (
+                self.lake.overwrite(BLOOM_TABLE, self._bloom)
+                if self._bloom is not None
+                else self.lake.current_snapshot("bloom")
+            )
         self._checkpoint(iteration, snaps, {"op": "compact"})
 
     # -- one iteration ---------------------------------------------------------
@@ -312,8 +350,24 @@ class Crawler:
             cfg.default_host_budget,
             cfg.salt_buckets,
             cfg.max_urls_per_iter,
+            mode=cfg.politeness_mode,
         )
-        selected = robots_filter(selected, self.robots).persist()
+        # Lazy localCheckpoint instead of persist(): downstream plans see
+        # a flat LogicalRDD immediately, so every later job in this
+        # iteration skips re-analyzing (and at worst re-executing) the
+        # politeness/window lineage.  Catalyst plan analysis over the deep
+        # iteration DAG — driver-side, serial — was the dominant share of
+        # the per-iteration floor; truncation removes it.  Durability is
+        # the lakehouse appends; intra-iteration checkpoint blocks live in
+        # MEMORY_AND_DISK like any iterative Spark algorithm's.
+        # One exchange to the engine's canonical url_hash partitioning at
+        # selection time: the fetch join, the failed-attempt anti-join and
+        # the marks write then all run exchange-free on this slice.
+        selected = (
+            robots_filter(selected, self.robots)
+            .repartition(self.shuffle_partitions, "url_hash")
+            .localCheckpoint(eager=False)
+        )
         attempted = prefetch_filter(selected)
 
         fetched = self.fetch_fn(attempted)
@@ -324,9 +378,12 @@ class Crawler:
         # explicit N is respected by AQE (not re-coalesced), so extraction
         # parallelism tracks the cluster size — the property the N->4N
         # scaling criterion measures.
+        if not self._fetch_copartitioned:
+            # custom fetch stages (e.g. HTTP) inherit arbitrary partitioning;
+            # re-key so the heavy Python stage parallelism tracks the cluster
+            fetched = fetched.repartition(self.shuffle_partitions, "url_hash")
         extracted = (
-            fetched.repartition(self.shuffle_partitions, "url_hash")
-            .withColumn("_ex", udf_extract_page("url", "html"))
+            fetched.withColumn("_ex", udf_extract_page("url", "html"))
             .select(
                 "url_hash",
                 "url",
@@ -337,7 +394,7 @@ class Crawler:
                 F.col("_ex.text").alias("text"),
                 F.col("_ex.links").alias("links"),
             )
-            .persist()  # P4 broadcast stage: cache once, feed three sinks
+            .localCheckpoint(eager=False)  # P4: compute once, feed all sinks
         )
 
         # -- discovered links -> novelty check (J1) --------------------------
@@ -356,7 +413,7 @@ class Crawler:
                 F.col("lnk.nofollow").alias("nofollow"),
             )
             .withColumn("url_hash", urlops.url_hash_col("url"))
-        ).persist()
+        ).localCheckpoint(eager=False)
 
         # Vertices to upsert: follow + nofollow links (U1).
         candidate_urls = (
@@ -370,9 +427,9 @@ class Crawler:
         if cfg.use_bloom and self._bloom is None:
             self._bloom = self.lake.read(BLOOM_TABLE)
         bloom = self._bloom if cfg.use_bloom else None
-        # membership check against RAW appended keys (any appearance =
-        # seen) — skips the reconcile shuffle on the anti-join side.
-        seen_keys = self.lake.read(tables.FRONTIER).select("url_hash")
+        # membership check against the cached reconciled frontier — the
+        # same key set as the raw appended table, without re-reading it.
+        seen_keys = frontier.select("url_hash")
         new_links = seen_ops.filter_unseen(
             candidate_urls,
             seen_keys,
@@ -390,7 +447,7 @@ class Crawler:
                 F.lit(None).cast("timestamp").alias("retrieved_at"),
                 F.lit(None).cast("timestamp").alias("last_attempt"),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
 
         # All row counts below come from the written parquet footers —
@@ -409,27 +466,45 @@ class Crawler:
         snaps["documents"], n_fetched = self.lake.append_counted(tables.DOCUMENTS, docs)
         t_ph = mark("docs_write", t_ph)
 
-        # -- sink 2: newly discovered URLs (materializes out_links+new_rows;
-        # separate append => its footer count is the new_urls metric) -------
-        _, n_new = self.lake.append_counted(tables.FRONTIER, new_rows)
-        t_ph = mark("new_urls_write", t_ph)
-
-        # Remaining sinks read only cached inputs and hit three different
-        # tables — run them as concurrent Spark jobs (the reference's
-        # broadcast-to-sinks stage overlap, pipeline/runners/broadcast.go).
+        # -- ONE tagged frontier append: attempt-marks + newly discovered
+        # URLs fused into a single job/commit (J1 greatest(retrieved_at)
+        # semantics via reconcile); per-tag footer counts give both
+        # metrics.  This job also materializes the selected / out_links /
+        # new_rows caches the concurrent sinks below reuse.
         fetched_updates = extracted.select(
             "url_hash", "url", "host", "priority", "discovered_iter",
             F.lit(pass_ts).alias("retrieved_at"),
             F.lit(pass_ts).alias("last_attempt"),
         )
         failed_updates = (
-            selected.join(extracted.select("url_hash"), "url_hash", "left_anti")
+            selected.join(
+                extracted.select("url_hash").hint("SHUFFLE_HASH"),
+                "url_hash",
+                "left_anti",
+            )
             .select(
                 "url_hash", "url", "host", "priority", "discovered_iter",
-                F.col("retrieved_at"),
+                # fresh alias: a passthrough attribute inside a Union trips
+                # LogicalRDD.fromDataset's constraint rewrite on checkpoint
+                F.col("retrieved_at").alias("retrieved_at"),
                 F.lit(pass_ts).alias("last_attempt"),
             )
         )
+        # marks stays a lazy plan over the two checkpointed inputs (a
+        # localCheckpoint of this Union trips a Catalyst constraint-rewrite
+        # bug: NoSuchElementException in LogicalRDD.fromDataset); the plan
+        # is two projections + one broadcast anti-join — cheap to re-run.
+        marks = fetched_updates.unionByName(failed_updates)
+        delta = marks.withColumn("_delta", F.lit("marks")).unionByName(
+            new_rows.withColumn("_delta", F.lit("new"))
+        )
+        snaps["frontier"], dcounts = self.lake.append_tagged(
+            tables.FRONTIER, delta, "_delta"
+        )
+        n_selected = dcounts.get("marks", 0)
+        n_new = dcounts.get("new", 0)
+        t_ph = mark("frontier_delta", t_ph)
+
         new_edges = (
             out_links.where(~F.col("nofollow"))  # F8: nofollow -> no edge
             .select(
@@ -445,41 +520,31 @@ class Crawler:
             F.lit(pass_ts).alias("updated_at"),
         )
 
-        from concurrent.futures import ThreadPoolExecutor
+        # edges + null-dst re-crawl markers (J2 + U2 via reconcile) — reads
+        # only checkpoint blocks materialized by the two writes above
+        snaps["edges"] = self.lake.append(tables.EDGES, new_edges.unionByName(markers))
+        t_ph = mark("edges", t_ph)
 
-        def write_marks():
-            # frontier attempt-marks (J1 greatest(retrieved_at) semantics)
-            return self.lake.append_counted(
-                tables.FRONTIER, fetched_updates.unionByName(failed_updates)
-            )
-
-        def write_edges():
-            # edges + null-dst re-crawl markers (J2 + U2 via reconcile)
-            return self.lake.append(tables.EDGES, new_edges.unionByName(markers))
-
-        def write_bloom():
-            if not cfg.use_bloom:
-                return None
-            new_bloom = seen_ops.update_bloom(bloom, new_rows, cfg.bloom_buckets)
-            return self.lake.overwrite(BLOOM_TABLE, new_bloom)
-
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_marks = pool.submit(write_marks)
-            f_edges = pool.submit(write_edges)
-            f_bloom = pool.submit(write_bloom)
-            snaps["frontier"], n_selected = f_marks.result()
-            snaps["edges"] = f_edges.result()
-            bloom_snap = f_bloom.result()
-        t_ph = mark("marks_edges_bloom", t_ph)
+        # -- state refresh: both LAZY checkpoints over already-materialized
+        # blocks.  No extra jobs here — the next iteration's first consumer
+        # materializes them (and the final iteration never pays for them).
         if cfg.use_bloom:
-            snaps["bloom"] = bloom_snap
-            # lazy read-back: shallow lineage for the next iteration's
-            # cogroups (chaining DF-to-DF would nest plans unboundedly)
-            self._bloom = self.lake.read(BLOOM_TABLE)
-
-        for df in (selected, extracted, out_links, new_rows):
-            df.unpersist()
-        mark("unpersist", t_ph)
+            # In-memory only: the disk Bloom is written at compaction.  A
+            # resume with a stale Bloom stays correct — a Bloom-negative
+            # seen URL is re-appended as "new" and absorbed by the
+            # reconcile (min discovered_iter / max retrieved_at), never
+            # re-fetched before due.
+            self._bloom = seen_ops.update_bloom(
+                bloom, new_rows, cfg.bloom_buckets
+            ).localCheckpoint(eager=False)
+            # stale-but-consistent disk snapshot; rewritten at compaction
+            snaps["bloom"] = self.lake.current_snapshot("bloom")
+        # Next iteration's hot frontier: reconcile(old ∪ this delta),
+        # truncated so lineage stays flat across iterations.
+        self._frontier = self._reconcile_frontier(
+            frontier.unionByName(marks).unionByName(new_rows)
+        ).localCheckpoint(eager=False)
+        mark("state_refresh", t_ph)
 
         metrics = {
             "selected": n_selected,
@@ -500,6 +565,12 @@ class Crawler:
             if rp is None:
                 raise RuntimeError("resume requested but no complete checkpoint")
             self._pin_snapshots(rp)
+            # one eager reconcile of the pinned snapshot seeds the hot
+            # frontier cache (otherwise the first iteration would re-derive
+            # the disk reconcile once per consuming job)
+            self._frontier = self._reconcile_frontier(
+                self.lake.read(tables.FRONTIER)
+            ).localCheckpoint(eager=True)
             start_iter = rp["iteration"] + 1
         else:
             if not seed_urls:

@@ -69,6 +69,12 @@ def is_private_host(
     """
     if not host:
         return False
+    if dns is None:
+        return _is_private_host_cached(host, unresolved_private)
+    return _is_private_host_uncached(host, dns, unresolved_private)
+
+
+def _is_private_host_uncached(host, dns, unresolved_private):  # noqa: ANN001
     h = host.strip("[]")
     if dns and h in dns:
         h = dns[h]
@@ -79,6 +85,15 @@ def is_private_host(
     return any(ip in net for net in _PRIVATE_NETS)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _is_private_host_cached(host: str, unresolved_private: bool) -> bool:
+    return _is_private_host_uncached(host, None, unresolved_private)
+
+
+@lru_cache(maxsize=65536)
 def _hostname(netloc_url: str) -> str:
     """Go url.Hostname(): strip port and IPv6 brackets, preserve case."""
     host = urlsplit(netloc_url).netloc
@@ -89,14 +104,41 @@ def _hostname(netloc_url: str) -> str:
     return host.rsplit(":", 1)[0] if re.search(r":\d*$", host) else host
 
 
+# Fast-path guards: anything that could need RFC 3986 dot-segment
+# normalization or odd parsing falls back to the exact urljoin path.
+_SIMPLE_PATH_RE = re.compile(r"^/(?:[^/.?#\\]+/)*[^/.?#\\]*(?:\?[^#]*)?$")
+_SIMPLE_ABS_RE = re.compile(
+    r"^https?://[^/?#\\]+(?:/(?:[^/.?#\\]+/)*[^/.?#\\]*)?(?:\?[^#]*)?$"
+)
+
+
+@lru_cache(maxsize=65536)
+def _split_base(base: str) -> tuple[str, str]:
+    s = urlsplit(base)
+    return s.scheme, s.netloc
+
+
 def resolve_url(base: str, target: str) -> str | None:
     """Go resolveURL semantics: '' -> None; '//x' inherits base scheme;
-    everything else RFC 3986 reference resolution against ``base``."""
+    everything else RFC 3986 reference resolution against ``base``.
+
+    Hot-path shortcuts (differential-tested against urljoin in
+    tests/test_textops_golden.py): already-absolute http(s) targets and
+    host-absolute paths with no dot segments resolve without the full
+    urljoin machinery — per-page link resolution is ~40% of extraction
+    CPU at crawl scale.
+    """
     if not target:
         return None
     if target.startswith("//"):
         scheme = urlsplit(base).scheme
         target = f"{scheme}:{target}"
+    if _SIMPLE_ABS_RE.match(target):
+        return target
+    if _SIMPLE_PATH_RE.match(target):
+        scheme, netloc = _split_base(base)
+        if scheme and netloc:
+            return f"{scheme}://{netloc}{target}"
     try:
         return urljoin(base, target)
     except ValueError:
@@ -104,6 +146,10 @@ def resolve_url(base: str, target: str) -> str | None:
 
 
 def strip_fragment(url: str) -> str:
+    # fast path: nothing to strip and the split/unsplit round-trip is the
+    # identity (a lone trailing '?' is the one case unsplit normalizes)
+    if "#" not in url and not url.endswith("?"):
+        return url
     s = urlsplit(url)
     return urlunsplit((s.scheme, s.netloc, s.path, s.query, ""))
 
@@ -166,8 +212,8 @@ def extract_links(
 def _retain_link(src_host: str, link: str | None, dns, unresolved_private=False) -> bool:  # noqa: ANN001
     if not link:
         return False
-    parts = urlsplit(link)
-    if parts.scheme not in ("http", "https"):
+    head = link[:8].lower()  # scheme check sans urlsplit (it lowercases)
+    if not (head.startswith("http://") or head.startswith("https://")):
         return False
     host = _hostname(link)
     if host == src_host:

@@ -219,6 +219,36 @@ class Lakehouse:
         snap = self._commit(spec, parent_dirs + [d], "append")
         return snap, rows_in_dir(os.path.join(self._table_dir(spec.name), d))
 
+    def append_tagged(
+        self, spec: TableSpec, df: DataFrame, tag_col: str
+    ) -> tuple[str, dict[str, int]]:
+        """One append JOB writing several logical deltas at once.
+
+        ``df`` carries the spec columns plus ``tag_col``; the write is
+        partitioned by the tag, so each tag lands in its own sub-dir of a
+        single data dir — one Spark job, one commit, and per-tag row
+        counts from the footers (the crawl fuses its two frontier deltas
+        — attempt marks + newly discovered URLs — into one job this way).
+        """
+        m = self._read_manifest(spec.name)
+        parent_dirs = (
+            m["snapshots"][m["current"]]["data_dirs"] if m["current"] else []
+        )
+        cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in spec.schema.fields]
+        out = df.select(*cols, F.col(tag_col))
+        data_dir = f"data-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self._table_dir(spec.name), data_dir)
+        out.write.mode("overwrite").partitionBy(tag_col).parquet(path)
+        tag_dirs = sorted(
+            d for d in os.listdir(path) if d.startswith(f"{tag_col}=")
+        )
+        counts = {
+            d.split("=", 1)[1]: rows_in_dir(os.path.join(path, d)) for d in tag_dirs
+        }
+        new_dirs = [os.path.join(data_dir, d) for d in tag_dirs]
+        snap = self._commit(spec, parent_dirs + new_dirs, "append")
+        return snap, counts
+
     def merge_upsert(
         self,
         spec: TableSpec,

@@ -71,9 +71,21 @@ def fetch_join(selected: DataFrame, pages: DataFrame) -> DataFrame:
         F.coalesce(F.col("status"), F.lit(200)).alias("status"),
         F.coalesce(F.col("content_type"), F.lit("text/html")).alias("content_type"),
     )
+    # SHUFFLE_HASH with the frontier slice as build side: when both
+    # sides are hash-partitioned on url_hash (the Crawler guarantees it)
+    # this runs with NO exchange and NO driver-side broadcast build — the
+    # broadcast path serializes the whole slice through the driver every
+    # iteration, a per-iteration serial cost that breaks N->4N scaling.
+    # The 64-bit-collision tiebreak hides the url equality inside a CASE
+    # WHEN: a bare `url == _page_url` would be extracted as an extra join
+    # KEY, changing the partitioning requirement to (url, url_hash) and
+    # re-shuffling the whole pages cache (html included) every iteration.
+    same_url = F.when(F.col("url") == F.col("_page_url"), F.lit(True)).otherwise(
+        F.lit(False)
+    )
     fetched = (
-        selected.join(page_cols, "url_hash", "inner")
-        .where(F.col("url") == F.col("_page_url"))
+        selected.hint("SHUFFLE_HASH").join(page_cols, "url_hash", "inner")
+        .where(same_url)
         .drop("_page_url")
     )
     return fetched.where(

@@ -48,14 +48,41 @@ def politeness_select(
     default_budget: int = 100,
     salt_buckets: int = 16,
     max_urls_per_iter: int | None = None,
+    mode: str = "exact",
 ) -> DataFrame:
     """Top-``budget`` URLs per host by (priority desc, url_hash), skew-safe.
 
     ``host_budgets`` (host, budget_per_iter) overrides the default; it is
     a small dimension — broadcast it.
+
+    ``mode="salted_quota"`` (host_budgets=None only): the budget is split
+    into per-(host, salt) quotas — salt i of s gets ``b//s`` (+1 for the
+    first ``b%s`` salts), so at most ``b`` rows per host survive, selected
+    as each salt's priority top-k.  A mega-host's ranking then runs as
+    ``salt_buckets`` parallel sorts instead of one task sorting the whole
+    host (the "exact" global per-host top-k is inherently single-task for
+    a host that owns a large share of the frontier — at 10^10-URL scale
+    per-host work MUST shard, which is exactly the north rule's
+    "salted-repartition-by-host").  The quota trades global priority
+    order within a host for skew-freedom; the per-host budget bound and
+    determinism are preserved.
     """
     df = due
     order = [F.col("priority").desc_nulls_last(), F.col("url_hash")]
+
+    if mode == "salted_quota" and host_budgets is None:
+        b, s = int(default_budget), int(salt_buckets)
+        salt = F.pmod(F.col("url_hash"), F.lit(s)).cast("int")
+        quota = F.lit(b // s) + (salt < F.lit(b % s)).cast("int")
+        w = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= quota)
+            .drop("_rn")
+        )
+        if max_urls_per_iter is not None:
+            df = df.orderBy(*order).limit(max_urls_per_iter)
+        return df
 
     if host_budgets is None:
         # Literal limit => Spark rewrites to WindowGroupLimit with a

@@ -166,10 +166,15 @@ def filter_unseen(
     Bloom-maybe rows are anti-joined (false-positive-safe backstop).
     Without: plain LEFT ANTI hash join.
     """
+    # SHUFFLE_HASH on the seen side: the membership table grows to the
+    # full URL-seen set (10^10 at the north scale) — broadcasting it would
+    # collect it through the driver every iteration.  A shuffle-hash anti
+    # join partitions both sides on url_hash and scales with the cluster.
+    seen = url_seen.select("url_hash").hint("SHUFFLE_HASH")
     if bloom is None:
-        return candidates.join(url_seen.select("url_hash"), "url_hash", "left_anti")
+        return candidates.join(seen, "url_hash", "left_anti")
     probed = bloom_probe(candidates, bloom, num_buckets)
     definite_new = probed.where(~F.col("bloom_maybe")).drop("bloom_maybe", "bucket")
     maybe = probed.where(F.col("bloom_maybe")).drop("bloom_maybe", "bucket")
-    survived = maybe.join(url_seen.select("url_hash"), "url_hash", "left_anti")
+    survived = maybe.join(seen, "url_hash", "left_anti")
     return definite_new.unionByName(survived)

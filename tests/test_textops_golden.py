@@ -228,3 +228,66 @@ def test_canonicalize_url():
     assert canonicalize_url("http://a.com/p#frag") == "http://a.com/p"
     assert canonicalize_url("ftp://a.com/p") is None
     assert canonicalize_url("https://a.com/p?q=1#x") == "https://a.com/p?q=1"
+
+
+def test_fast_strip_tags_differential():
+    """The single-regex scanner must match the html.parser reference on
+    the golden page, the synthetic corpus, and adversarial compositions."""
+    import random
+
+    from go_crawler_spark import fixtures
+    from go_crawler_spark.functions.textops import _strip_tags, _strip_tags_ref
+
+    assert _strip_tags(fixtures.GOLDEN_SERVER_RES) == _strip_tags_ref(
+        fixtures.GOLDEN_SERVER_RES
+    )
+    for i in range(0, 5000, 13):
+        c = fixtures._page_row(i, 100000, 50, 0.4, 10)["html"].decode()
+        assert _strip_tags(c) == _strip_tags_ref(c), f"corpus page {i}"
+
+    random.seed(7)
+    frags = [
+        "<p>", "</p>", "text & more", "<script>var x='</div>';</script>",
+        "<style>a{}</style>", "<!-- <p>c</p> -->", "<title>T&amp;t</title>",
+        "&amp;#10;", "<a href='x'>l</a>", "<br/>", "<SCRIPT>s</SCRIPT>",
+        "< notag", "<3 hearts", "</ p>", "<![CDATA[x]]>", "<!DOCTYPE html>",
+        "<?php x ?>", "&lt;tag&gt;", "\n\t spaces  ",
+        '<div class="a>b">q</div>', "<iframe>inner</iframe>",
+        "<noscript><p>ns</p></noscript>", "<b", "plain",
+    ]
+    for _ in range(1500):
+        doc = "".join(random.choice(frags) for _ in range(random.randint(1, 12)))
+        assert _strip_tags(doc) == _strip_tags_ref(doc), repr(doc)
+
+
+def test_fast_resolve_url_differential():
+    """resolve_url's shortcuts must equal the full urljoin path."""
+    from urllib.parse import urljoin, urlsplit
+
+    from go_crawler_spark.functions.urlops import resolve_url
+
+    def ref(base, target):
+        if not target:
+            return None
+        if target.startswith("//"):
+            target = f"{urlsplit(base).scheme}:{target}"
+        try:
+            return urljoin(base, target)
+        except ValueError:
+            return None
+
+    bases = [
+        "http://host5.test/p/12", "http://a.test/", "https://x.org/d/p?q=1",
+        "http://google.com/", "http://h.test",
+    ]
+    targets = [
+        "", "/p/5", "/p/5?x=1", "//host2.test/p/9", "http://b.test/q/1",
+        "p/7", "./rel", "../up", "/a/./b", "/a/../b", "http://x.com",
+        "http://x.com/", "http://x.com/p.html", "/static/logo.png",
+        "ftp://files.test/x", "#frag", "/p/5#sec", "http://x.com/p/1#s",
+        "mailto:a@b", "  /sp", "/double//slash", "http://x.com//dbl",
+        "/q?a=b&c=d", "http://u:p@h.test/x", "/%20enc", "http://x.com/%7e",
+    ]
+    for b in bases:
+        for t in targets:
+            assert resolve_url(b, t) == ref(b, t), (b, t)
