@@ -46,7 +46,13 @@ spark.stop()
 
 
 def run_level(cpus: int, n_pages: int, pin: bool = True) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    # local-mode executor shares the driver heap: the cached corpus +
+    # shuffle buffers need real headroom at multi-million-page scale
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    )
     code = _CHILD.format(here=HERE)
     cmd = [sys.executable, "-c", code, str(cpus), str(n_pages)]
     total = os.cpu_count() or cpus

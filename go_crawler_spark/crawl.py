@@ -213,12 +213,22 @@ class Crawler:
 
     # -- seeding --------------------------------------------------------------
 
-    def seed(self, seed_urls: list[str]) -> None:
-        """Iteration 0: canonicalize seeds (X8) and initialize all tables."""
-        canon = [u for u in (urlops.canonicalize_url(s) for s in seed_urls) if u]
-        seeds = _with_url_cols(
-            self.spark.createDataFrame([(u,) for u in canon], "url string")
-        ).select(
+    def seed(self, seed_urls: list[str] | None = None, seed_df: DataFrame | None = None) -> None:
+        """Iteration 0: canonicalize seeds (X8) and initialize all tables.
+
+        ``seed_df`` (a DataFrame with a ``url`` column of already-canonical
+        URLs) seeds distributively — the path for bulk frontier loads
+        (e.g. re-seeding a 10^10-URL frontier from a previous crawl's
+        table), where a driver-side Python list would not fit.
+        """
+        if seed_df is not None:
+            base = seed_df.select("url").where(
+                F.col("url").startswith("http://") | F.col("url").startswith("https://")
+            )
+        else:
+            canon = [u for u in (urlops.canonicalize_url(s) for s in seed_urls or []) if u]
+            base = self.spark.createDataFrame([(u,) for u in canon], "url string")
+        seeds = _with_url_cols(base).select(
             "url_hash",
             "url",
             "host",
@@ -248,7 +258,7 @@ class Crawler:
         snaps["bloom"] = self.lake.overwrite(BLOOM_TABLE, bloom)
         self._bloom = bloom  # kept hot across iterations; disk is checkpoint
         self._frontier = seeds.localCheckpoint(eager=True)
-        self._checkpoint(0, snaps, {"seeds": len(canon)})
+        self._checkpoint(0, snaps, {"op": "seed"})
 
     # -- merge-on-read reconciled readers ------------------------------------
 
@@ -394,7 +404,7 @@ class Crawler:
                 F.col("_ex.text").alias("text"),
                 F.col("_ex.links").alias("links"),
             )
-            .localCheckpoint(eager=False)  # P4: compute once, feed all sinks
+            .localCheckpoint(eager=True)  # P4: compute once, feed all sinks
         )
 
         # -- discovered links -> novelty check (J1) --------------------------
@@ -450,27 +460,18 @@ class Crawler:
             .localCheckpoint(eager=False)
         )
 
-        # All row counts below come from the written parquet footers —
-        # metrics cost zero extra Spark jobs.
-
-        # -- sink 1: documents (S7) — append new version; reconcile keeps the
-        # latest and carries pagerank across reindex (J4 preserve semantics).
-        # Written first: this action materializes the `extracted` cache.
+        # The eager `extracted` checkpoint above is the only serial
+        # materialization; the three sinks below read its blocks and hit
+        # three DIFFERENT tables, so they run as concurrent Spark jobs —
+        # the reference's broadcast-to-sinks overlap (pipeline/runners/
+        # broadcast.go).  Safe now because every input is a flat
+        # checkpointed plan: no Catalyst re-analysis, no cache races.
+        t_ph = mark("extract", t0)
         docs = extracted.select(
             "url_hash", "url", "title", "text",
             F.lit(pass_ts).alias("indexed_at"),
             F.lit(None).cast("double").alias("pagerank"),
         )
-        snaps = {}
-        t_ph = time.time()
-        snaps["documents"], n_fetched = self.lake.append_counted(tables.DOCUMENTS, docs)
-        t_ph = mark("docs_write", t_ph)
-
-        # -- ONE tagged frontier append: attempt-marks + newly discovered
-        # URLs fused into a single job/commit (J1 greatest(retrieved_at)
-        # semantics via reconcile); per-tag footer counts give both
-        # metrics.  This job also materializes the selected / out_links /
-        # new_rows caches the concurrent sinks below reuse.
         fetched_updates = extracted.select(
             "url_hash", "url", "host", "priority", "discovered_iter",
             F.lit(pass_ts).alias("retrieved_at"),
@@ -493,18 +494,11 @@ class Crawler:
         # marks stays a lazy plan over the two checkpointed inputs (a
         # localCheckpoint of this Union trips a Catalyst constraint-rewrite
         # bug: NoSuchElementException in LogicalRDD.fromDataset); the plan
-        # is two projections + one broadcast anti-join — cheap to re-run.
+        # is two projections + one anti-join — cheap.
         marks = fetched_updates.unionByName(failed_updates)
         delta = marks.withColumn("_delta", F.lit("marks")).unionByName(
             new_rows.withColumn("_delta", F.lit("new"))
         )
-        snaps["frontier"], dcounts = self.lake.append_tagged(
-            tables.FRONTIER, delta, "_delta"
-        )
-        n_selected = dcounts.get("marks", 0)
-        n_new = dcounts.get("new", 0)
-        t_ph = mark("frontier_delta", t_ph)
-
         new_edges = (
             out_links.where(~F.col("nofollow"))  # F8: nofollow -> no edge
             .select(
@@ -520,10 +514,29 @@ class Crawler:
             F.lit(pass_ts).alias("updated_at"),
         )
 
-        # edges + null-dst re-crawl markers (J2 + U2 via reconcile) — reads
-        # only checkpoint blocks materialized by the two writes above
-        snaps["edges"] = self.lake.append(tables.EDGES, new_edges.unionByName(markers))
-        t_ph = mark("edges", t_ph)
+        from concurrent.futures import ThreadPoolExecutor
+
+        snaps = {}
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_docs = pool.submit(
+                self.lake.append_counted, tables.DOCUMENTS, docs
+            )
+            # ONE tagged frontier append: attempt-marks + newly discovered
+            # URLs in a single job/commit (J1 greatest(retrieved_at)
+            # semantics via reconcile); per-tag footer counts = metrics
+            f_delta = pool.submit(
+                self.lake.append_tagged, tables.FRONTIER, delta, "_delta"
+            )
+            # edges + null-dst re-crawl markers (J2 + U2 via reconcile)
+            f_edges = pool.submit(
+                self.lake.append, tables.EDGES, new_edges.unionByName(markers)
+            )
+            snaps["documents"], n_fetched = f_docs.result()
+            snaps["frontier"], dcounts = f_delta.result()
+            snaps["edges"] = f_edges.result()
+        n_selected = dcounts.get("marks", 0)
+        n_new = dcounts.get("new", 0)
+        t_ph = mark("sink_writes", t_ph)
 
         # -- state refresh: both LAZY checkpoints over already-materialized
         # blocks.  No extra jobs here — the next iteration's first consumer
@@ -559,7 +572,12 @@ class Crawler:
 
     # -- the loop ---------------------------------------------------------------
 
-    def run(self, seed_urls: list[str] | None = None, resume: bool = False) -> list[dict]:
+    def run(
+        self,
+        seed_urls: list[str] | None = None,
+        resume: bool = False,
+        seed_df: DataFrame | None = None,
+    ) -> list[dict]:
         if resume:
             rp = self.resume_point()
             if rp is None:
@@ -573,9 +591,9 @@ class Crawler:
             ).localCheckpoint(eager=True)
             start_iter = rp["iteration"] + 1
         else:
-            if not seed_urls:
-                raise ValueError("seed_urls required for a fresh crawl")
-            self.seed(seed_urls)
+            if not seed_urls and seed_df is None:
+                raise ValueError("seed_urls or seed_df required for a fresh crawl")
+            self.seed(seed_urls, seed_df=seed_df)
             start_iter = 1
 
         run_start = _now()

@@ -81,7 +81,19 @@ def politeness_select(
             .drop("_rn")
         )
         if max_urls_per_iter is not None:
-            df = df.orderBy(*order).limit(max_urls_per_iter)
+            # Global cap, distributed: `orderBy().limit(k)` is a driver-side
+            # top-k merge (TakeOrdered collects k rows) — at k in the
+            # millions that's a serial driver stage.  The same salted-quota
+            # construction bounds the total at <= k with per-salt parallel
+            # top-(k/s) sorts.
+            k = int(max_urls_per_iter)
+            gq = F.lit(k // s) + (salt < F.lit(k % s)).cast("int")
+            wg = Window.partitionBy(salt).orderBy(*order)
+            df = (
+                df.withColumn("_grn", F.row_number().over(wg))
+                .where(F.col("_grn") <= gq)
+                .drop("_grn")
+            )
         return df
 
     if host_budgets is None:

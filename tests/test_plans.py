@@ -95,3 +95,46 @@ def test_politeness_overrides_salted_plan(spark):
     counts = {r.host: r["count"] for r in out.groupBy("host").count().collect()}
     assert counts["h0.test"] == 2
     assert all(v <= 5 for v in counts.values())
+
+
+def test_politeness_salted_quota_budget_and_cap(spark):
+    """salted_quota: per-host total <= budget; global cap <= max_urls;
+    no per-host global sort anywhere in the plan."""
+    import pyspark.sql.functions as F
+    from go_crawler_spark.operators.frontier import politeness_select
+
+    rows = [(i, f"http://h{i % 3}.test/{i}", f"h{i % 3}.test", 1.0, 0, None, None)
+            for i in range(600)]
+    df = spark.createDataFrame(
+        rows,
+        "url_hash long, url string, host string, priority double, "
+        "discovered_iter int, retrieved_at timestamp, last_attempt timestamp",
+    )
+    out = politeness_select(df, None, default_budget=37, salt_buckets=16,
+                            mode="salted_quota")
+    per_host = {r.host: r.c for r in out.groupBy("host").agg(F.count("*").alias("c")).collect()}
+    assert all(c <= 37 for c in per_host.values()) and per_host
+
+    capped = politeness_select(df, None, default_budget=1000, salt_buckets=16,
+                               max_urls_per_iter=50, mode="salted_quota")
+    n = capped.count()
+    assert n <= 50
+    # deterministic across invocations
+    a = {r.url_hash for r in capped.collect()}
+    b = {r.url_hash for r in politeness_select(
+        df, None, default_budget=1000, salt_buckets=16,
+        max_urls_per_iter=50, mode="salted_quota").collect()}
+    assert a == b
+
+
+def test_seed_df_bulk_seeding(spark, tmp_warehouse):
+    """Distributed frontier seeding from a DataFrame matches list seeding."""
+    from go_crawler_spark import fixtures
+    from go_crawler_spark.crawl import Crawler, CrawlConfig
+
+    pages = fixtures.synth_pages(spark, 200, 4, skew=0.3, out_links=4)
+    cr = Crawler(spark, tmp_warehouse, pages, CrawlConfig(max_iterations=2, bloom_buckets=4))
+    cr.run(seed_df=pages.select("url"))
+    fr = cr.read_frontier()
+    assert fr.count() >= 200  # every corpus URL seeded (plus discoveries)
+    assert cr.metrics[0]["fetched"] > 0
