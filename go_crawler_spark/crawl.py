@@ -10,8 +10,13 @@ One iteration == one reference "crawl pass" (service/crawler/crawler.go:
     -> MERGE documents (S7) -> update Bloom -> checkpoint iteration
 
 The "broadcast to two sinks" stage of the reference (pipeline/runners/
-broadcast.go, graph-updater ∥ text-indexer) becomes persist()-once,
-write-three-times (frontier, edges, documents).
+broadcast.go, graph-updater ∥ text-indexer) becomes checkpoint-once,
+write-concurrently: one eager localCheckpoint of the extracted batch,
+then the three sinks (documents, tagged frontier delta, edges) run as
+concurrent Spark jobs over its blocks.  Every intra-iteration DataFrame
+is a flat checkpointed plan, so per-iteration driver cost (Catalyst
+analysis, broadcast builds) stays O(1) as the crawl state grows — the
+property the N->4N scaling rule measures.
 
 State tables use **merge-on-read**: every iteration only APPENDS its
 delta (selected-row attempt marks, newly discovered URLs, new edges, new
