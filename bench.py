@@ -60,18 +60,26 @@ def F_warmup():
     return udf_extract_text(F.col("html")).alias("_w")
 
 
-def bench_crawl(spark, n_pages: int, iters: int = 4) -> tuple[float, float]:
-    """Returns (elapsed_sec, urls_per_sec). urls = fetched + deduped.
+def bench_crawl(
+    spark, n_pages: int, iters: int = 4, steady: bool = False
+) -> tuple[float, float]:
+    """Returns (elapsed_sec, urls_per_sec). urls = fetched + newly deduped.
 
-    Steady-state measurement: the whole corpus is seeded as the frontier
-    (a 10^10-URL frontier is never in BFS ramp-up or drain-tail — every
-    pass has billions of due URLs) and each iteration's volume is set by
-    the scheduler's distributed priority cap, so all ``iters`` iterations
-    are uniformly data-fat.  Discovery, novelty dedup, politeness, and
-    all three sinks still run at full volume every pass.  JVM/codegen/
-    Python-worker warmup is excluded from the timed window.
+    Two harnesses over the same corpus and metric definition:
+
+    * BFS (default, the headline — comparable across rounds): seed ~5% of
+      the corpus and crawl to drain; urls = fetched + newly discovered.
+    * ``steady=True`` (the scaling-evidence harness, bench_scaling.py):
+      the whole corpus is seeded as the frontier (a 10^10-URL frontier is
+      never in BFS ramp-up or drain-tail) and the scheduler's distributed
+      priority cap sets per-iteration volume, so every iteration is
+      uniformly data-fat.  Discovery, novelty dedup over all discovered
+      links, politeness, and all three sinks still run at full volume.
+
+    JVM/codegen/Python-worker warmup is excluded from the timed window.
     """
     from go_crawler_spark.crawl import Crawler, CrawlConfig
+    from go_crawler_spark.fixtures import seed_urls
 
     corpus = _ensure_corpus(spark, n_pages)
     pages = spark.read.parquet(corpus)
@@ -83,11 +91,11 @@ def bench_crawl(spark, n_pages: int, iters: int = 4) -> tuple[float, float]:
     wh = tempfile.mkdtemp(prefix="gcs_bench_wh_", dir=wh_base)
     try:
         cfg = CrawlConfig(
-            max_iterations=iters + 2,  # slack for quota rounding
-            max_urls_per_iter=n_pages // iters,
+            max_iterations=(iters + 2) if steady else 8,
+            max_urls_per_iter=(n_pages // iters) if steady else None,
             bloom_buckets=64,
             bloom_capacity_per_bucket=max(n_pages // 16, 1000),
-            default_host_budget=n_pages,
+            default_host_budget=n_pages if steady else max(n_pages // 3, 500),
             salt_buckets=16,
             # skew-free politeness: the bench corpus has a 40% mega-host;
             # a global per-host top-k would single-task it (frontier.py)
@@ -97,7 +105,11 @@ def bench_crawl(spark, n_pages: int, iters: int = 4) -> tuple[float, float]:
         spark.range(10_000_000).selectExpr("sum(id)").collect()
         pages.limit(1000).select(F_warmup()).collect()
         t0 = time.time()
-        metrics = crawler.run(seed_df=pages.select("url"))
+        if steady:
+            metrics = crawler.run(seed_df=pages.select("url"))
+        else:
+            seeds = seed_urls(n_pages, 200, 0.4, n_seeds=max(16, n_pages // 20))
+            metrics = crawler.run(seed_urls=seeds)
         elapsed = time.time() - t0
         processed = sum(m["fetched"] + m["new_urls"] for m in metrics)
         return elapsed, processed / elapsed if elapsed > 0 else 0.0
