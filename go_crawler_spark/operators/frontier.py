@@ -151,3 +151,62 @@ def robots_filter(selected: DataFrame, robots: DataFrame | None) -> DataFrame:
         lambda p: path.startswith(p),
     )
     return joined.where(~denied).drop("robots_disallow")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt
+# ---------------------------------------------------------------------------
+
+
+def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
+    """Disallow prefixes for ``user_agent`` from a robots.txt body.
+
+    RFC 9309-lite, matching ``robots_filter``'s prefix-drop semantics:
+    groups are opened by one or more ``User-agent`` lines; the most
+    specific group wins (an exact/substring agent match beats ``*``);
+    empty ``Disallow:`` means allow-all and contributes nothing.
+    """
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+    agents: list[str] = []
+    disallows: list[str] = []
+    in_group_body = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                groups.append((agents, disallows))
+                agents, disallows = [], []
+                in_group_body = False
+            agents.append(val.lower())
+        elif key == "disallow":
+            in_group_body = True
+            if val:
+                disallows.append(val)
+        elif key == "allow":
+            in_group_body = True  # recognized, not modeled (prefix-drop only)
+    if agents:
+        groups.append((agents, disallows))
+
+    specific: list[str] | None = None
+    wildcard: list[str] | None = None
+    for g_agents, g_dis in groups:
+        if any(a != "*" and (a in ua or ua in a) for a in g_agents):
+            specific = g_dis if specific is None else specific + g_dis
+        if "*" in g_agents:
+            wildcard = g_dis if wildcard is None else wildcard + g_dis
+    out = specific if specific is not None else (wildcard or [])
+    return out
+
+
+def robots_table(spark, bodies: list[tuple[str, str]], user_agent: str = "*"):
+    """(host, robots.txt body) pairs -> the (host, robots_disallow)
+    dimension ``robots_filter`` consumes."""
+    from go_crawler_spark.tables import ROBOTS_SCHEMA
+
+    rows = [(h, parse_robots_txt(b, user_agent)) for h, b in bodies]
+    return spark.createDataFrame(rows, ROBOTS_SCHEMA)

@@ -138,3 +138,32 @@ def test_seed_df_bulk_seeding(spark, tmp_warehouse):
     fr = cr.read_frontier()
     assert fr.count() >= 200  # every corpus URL seeded (plus discoveries)
     assert cr.metrics[0]["fetched"] > 0
+
+
+def test_robots_txt_parse_and_filter(spark, tmp_warehouse):
+    """robots.txt body -> disallow dimension -> crawl respects it."""
+    from go_crawler_spark import fixtures
+    from go_crawler_spark.crawl import Crawler, CrawlConfig
+    from go_crawler_spark.operators.frontier import parse_robots_txt, robots_table
+
+    body = """
+# comments ignored
+User-agent: evilbot
+Disallow: /
+
+User-agent: *
+Disallow: /p/1
+"""
+    assert parse_robots_txt(body, "gcs-crawler/1.0") == ["/p/1"]
+    assert parse_robots_txt(body, "evilbot") == ["/"]
+
+    pages = fixtures.synth_pages(spark, 60, 1, skew=0.0, out_links=4)
+    robots = robots_table(spark, [("host0.test", body)])
+    cr = Crawler(
+        spark, tmp_warehouse, pages,
+        CrawlConfig(max_iterations=6, bloom_buckets=4), robots=robots,
+    )
+    cr.run(seed_df=pages.select("url"))
+    fetched = {r.url for r in cr.read_documents().collect()}
+    # /p/1* is disallowed as a prefix; nothing under it may be fetched
+    assert fetched and not any("/p/1" in u for u in fetched)
