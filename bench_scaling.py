@@ -36,7 +36,8 @@ from go_crawler_spark.session import get_spark
 import bench
 
 cpus = int(sys.argv[1]); n_pages = int(sys.argv[2])
-spark = get_spark("gcs-scaling", cpus=cpus, shuffle_partitions=max(cpus, 16))
+spark = get_spark("gcs-scaling", cpus=cpus, shuffle_partitions=max(cpus, 16),
+                  extra_conf={{"spark.sql.adaptive.enabled": "false"}})
 bench._ensure_corpus(spark, n_pages)  # corpus cached: not part of timing
 elapsed, ups = bench.bench_crawl(spark, n_pages, steady=True)
 print("RESULT " + json.dumps({{"cpus": cpus, "elapsed": elapsed, "urls_per_sec": ups}}))
