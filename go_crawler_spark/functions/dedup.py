@@ -160,6 +160,13 @@ def minhash_near_dups(
     """
     if bands is None:
         bands = choose_bands(num_hashes, jaccard_threshold)
+    # Spread the signature computation: a small corpus often arrives as
+    # one parquet split, which would run the 64-permutation hashing on a
+    # single core.  The shuffle moves raw text once (cheap); the heavy
+    # column work then uses the whole cluster.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, id_col)
     # Shingle-hash once per document; signature + shingle set derive from it.
     prepared = df.select(
         F.col(id_col).alias("id"),
@@ -268,6 +275,9 @@ def simhash_near_dups(
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, id_col)  # spread the SimHash UDF work
     n_pieces = max_hamming + 1
     base, rem = divmod(64, n_pieces)
     piece_specs = []  # (shift, width)

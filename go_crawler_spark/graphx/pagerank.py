@@ -104,12 +104,11 @@ def pagerank(
                 ).alias("score"),
             )
         )
-        # Cut lineage: without this the plan nests once per superstep and
-        # planning/explain eventually stack-overflows (~40+ iterations).
-        if superstep % checkpoint_interval == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        else:
-            new_ranks = new_ranks.persist()
+        # Flat plan every superstep: a lazy localCheckpoint materializes
+        # with the stats action below and keeps Catalyst analysis O(1) per
+        # superstep (a persist chain re-analyzes a deeper plan each step
+        # and eventually stack-overflows at ~40+ iterations).
+        new_ranks = new_ranks.localCheckpoint(eager=False)
 
         stats = new_ranks.agg(
             F.sum(F.abs(F.col("old_score") - F.col("score"))).alias("sad"),
@@ -120,7 +119,6 @@ def pagerank(
         sad = float(stats["sad"] or 0.0)
         residual_prev = float(stats["residual"] or 0.0)
 
-        ranks.unpersist()
         ranks = new_ranks.drop("old_score")
         if sad < min_sad:
             break
