@@ -755,6 +755,81 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint_col("text")).orderBy("doc_id")
 
 
+# -- O1 search: tf relevance over a tokenized conjunction match --------------
+
+
+@_q(
+    "search_tf_ranked",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                         '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           round((len(list_filter(t, x -> x = 'hash'))
+                + len(list_filter(t, x -> x = 'join')))::DOUBLE / len(t), 6)
+             AS score
+    FROM tk
+    WHERE len(list_filter(t, x -> x = 'hash')) > 0
+      AND len(list_filter(t, x -> x = 'join')) > 0
+    ORDER BY score DESC, doc_id LIMIT 25
+    """,
+)
+def search_tf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search operator's conjunctive per-token tf relevance (O1) over
+    the documents table: every query token must appear; relevance = the
+    summed term frequency (operators/search.py semantics)."""
+    from go_crawler_spark.operators.search import _field_tf
+    from go_crawler_spark.functions.textstats import tokens_col
+
+    d = _read(spark, sf_dir, "documents")
+    matched, tf = _field_tf(tokens_col("text"), ["hash", "join"])
+    return (
+        d.where(matched)
+        .select("doc_id", F.round(tf, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(25)
+    )
+
+
+# -- embedding near-dup pairs: exact all-pairs cosine (verification layer) ---
+
+
+@_q(
+    "embedding_near_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= threshold — the embedding near-dup
+    VERIFICATION layer (functions/dedup.cosine_col), oracled against
+    DuckDB's list_cosine_similarity.  The LSH candidate layer
+    (hyperplane bands) is probabilistic by construction and is
+    recall-tested in pytest instead."""
+    from go_crawler_spark.functions.dedup import cosine_col
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", cosine_col(F.col("ea"), F.col("eb")).alias("c")
+    )
+    return (
+        pairs.where(F.col("c") >= 0.8)
+        .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 
