@@ -801,9 +801,10 @@ def search_tf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup_pairs",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
     ORDER BY id_a, id_b
     """,
 )
@@ -812,7 +813,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERIFICATION layer (functions/dedup.cosine_col), oracled against
     DuckDB's list_cosine_similarity.  The LSH candidate layer
     (hyperplane bands) is probabilistic by construction and is
-    recall-tested in pytest instead."""
+    recall-tested in pytest instead.  Threshold 0.4: the synthetic
+    embeddings top out near cosine 0.5, so 0.8 returned zero rows at
+    every sf — a vacuous (0 == 0) check; 0.4 yields ~60 pairs.  Both
+    sides compute in float64 (the Spark side casts, the oracle casts
+    ::DOUBLE[]) so the 6-decimal rounding hashes identically."""
     from go_crawler_spark.functions.dedup import cosine_col
 
     e = _read(spark, sf_dir, "embeddings").select(
@@ -824,7 +829,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", cosine_col(F.col("ea"), F.col("eb")).alias("c")
     )
     return (
-        pairs.where(F.col("c") >= 0.8)
+        pairs.where(F.col("c") >= 0.4)
         .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )

@@ -149,7 +149,6 @@ def main() -> None:
         # interleaved reps; median ratio (shared-VM steal varies over time)
         pairs = [(run_pinned(code, n), run_pinned(code, n * 4)) for _ in range(reps)]
         ratios = sorted(hi / lo for lo, hi in pairs)
-        lo, hi = pairs[ratios.index(ratios[len(ratios) // 2]) if ratios[len(ratios)//2] in ratios else 0]
         med = ratios[len(ratios) // 2]
         best_lo = max(p[0] for p in pairs); best_hi = max(p[1] for p in pairs)
         results[name] = {

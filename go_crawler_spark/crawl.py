@@ -227,8 +227,18 @@ class Crawler:
         table), where a driver-side Python list would not fit.
         """
         if seed_df is not None:
-            base = seed_df.select("url").where(
-                F.col("url").startswith("http://") | F.col("url").startswith("https://")
+            # JVM-side canonicalization mirroring canonicalize_url (X8):
+            # trim + fragment strip, http(s) only.  Without the fragment
+            # strip a seed like http://a/p#x would get a url_hash that
+            # never merges with the canonical http://a/p discovered later
+            # (duplicate frontier rows, double fetch).
+            url = F.regexp_replace(F.trim(F.col("url")), r"#.*$", "")
+            base = (
+                seed_df.select(url.alias("url"))
+                .where(
+                    F.col("url").startswith("http://")
+                    | F.col("url").startswith("https://")
+                )
             )
         else:
             canon = [u for u in (urlops.canonicalize_url(s) for s in seed_urls or []) if u]

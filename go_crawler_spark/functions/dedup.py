@@ -163,10 +163,10 @@ def minhash_near_dups(
     # Spread the signature computation: a small corpus often arrives as
     # one parquet split, which would run the 64-permutation hashing on a
     # single core.  The shuffle moves raw text once (cheap); the heavy
-    # column work then uses the whole cluster.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par, id_col)
+    # column work then uses the whole cluster.  Unconditional: probing
+    # df.rdd.getNumPartitions() would force an RDD conversion of the
+    # analyzed plan on the driver just to maybe skip a cheap exchange.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     # Shingle-hash once per document; signature + shingle set derive from it.
     prepared = df.select(
         F.col(id_col).alias("id"),
@@ -275,9 +275,8 @@ def simhash_near_dups(
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par, id_col)  # spread the SimHash UDF work
+    # spread the SimHash work (unconditional: see minhash_near_dups)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     n_pieces = max_hamming + 1
     base, rem = divmod(64, n_pieces)
     piece_specs = []  # (shift, width)

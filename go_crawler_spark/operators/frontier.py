@@ -71,7 +71,12 @@ def politeness_select(
     order = [F.col("priority").desc_nulls_last(), F.col("url_hash")]
 
     if mode == "salted_quota" and host_budgets is None:
-        b, s = int(default_budget), int(salt_buckets)
+        b = int(default_budget)
+        # Never more salts than budget units: with s > b, salts >= b%s
+        # would get quota 0, and since the salt is a pure function of
+        # url_hash those URLs would be PERMANENTLY unselectable (the
+        # drain condition could then end the crawl with due URLs left).
+        s = max(1, min(int(salt_buckets), b))
         salt = F.pmod(F.col("url_hash"), F.lit(s)).cast("int")
         quota = F.lit(b // s) + (salt < F.lit(b % s)).cast("int")
         w = Window.partitionBy(F.col("host"), salt).orderBy(*order)
@@ -87,8 +92,10 @@ def politeness_select(
             # construction bounds the total at <= k with per-salt parallel
             # top-(k/s) sorts.
             k = int(max_urls_per_iter)
-            gq = F.lit(k // s) + (salt < F.lit(k % s)).cast("int")
-            wg = Window.partitionBy(salt).orderBy(*order)
+            sg = max(1, min(int(salt_buckets), k))  # same zero-quota guard
+            saltg = F.pmod(F.col("url_hash"), F.lit(sg)).cast("int")
+            gq = F.lit(k // sg) + (saltg < F.lit(k % sg)).cast("int")
+            wg = Window.partitionBy(saltg).orderBy(*order)
             df = (
                 df.withColumn("_grn", F.row_number().over(wg))
                 .where(F.col("_grn") <= gq)
