@@ -9,10 +9,12 @@ Pure-Python reimplementation of the reference's URL handling:
   <base> handling, nofollow split, per-page dedup, scheme/privnet/extension
   filters, fragment strip).
 * ``is_private_host``   — crawler/privnet/privnet.go:6-75 (identical CIDR
-  list).  Deviation for the sandbox: named hosts are only resolved through
-  an optional static mapping (no live DNS); unresolvable named hosts are
-  treated as public, whereas the reference drops on resolution error.  All
-  reference tests exercise IP literals or mocks, so goldens are unaffected.
+  list).  Named hosts resolve through an optional static mapping and/or a
+  pluggable ``resolver`` callable (``socket.gethostbyname`` in a real
+  deployment).  With a resolver wired in, resolution error fails CLOSED
+  (link dropped) exactly like the reference; without one, the sandbox
+  default is fail-open (every named test host would otherwise drop),
+  flippable via ``unresolved_private``.
 * ``canonicalize_url``  — service/frontend/frontend.go:180-188 (seed
   ingestion: parse, http(s)-only, strip fragment).
 
@@ -24,6 +26,7 @@ from __future__ import annotations
 
 import ipaddress
 import re
+from typing import Callable
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 from pyspark.sql import Column
@@ -56,32 +59,48 @@ def is_private_host(
     host: str,
     dns: dict[str, str] | None = None,
     unresolved_private: bool = False,
+    resolver: "Callable[[str], str | None] | None" = None,
 ) -> bool:
-    """True if host is an IP literal (or statically resolvable) inside the
+    """True if host is an IP literal (or resolvable) inside the
     reference's private CIDR list.
 
-    ``unresolved_private`` selects the fail mode for named hosts that the
-    (static, sandboxed) resolver cannot resolve: the reference drops links
-    on DNS resolution error (crawler/privnet/privnet.go:62-75 — fail
-    closed), so pass True for reference-faithful SSRF behavior when a
-    resolver map is wired in; the default False (fail open) matches the
-    no-DNS sandbox where every named test host would otherwise be dropped.
+    ``resolver`` is a live DNS hook — ``socket.gethostbyname`` in a real
+    deployment — consulted for named hosts the static ``dns`` map misses.
+    When a resolver is wired in, resolution FAILURE (exception or None)
+    fails CLOSED (treated private, link dropped), exactly the reference's
+    behavior of dropping links on DNS error (crawler/privnet/privnet.go:
+    62-75).  ``unresolved_private`` selects the fail mode when there is NO
+    resolver: the default False (fail open) matches the no-DNS sandbox
+    where every named test host would otherwise be dropped.
     """
     if not host:
         return False
-    if dns is None:
+    if dns is None and resolver is None:
         return _is_private_host_cached(host, unresolved_private)
-    return _is_private_host_uncached(host, dns, unresolved_private)
+    return _is_private_host_uncached(host, dns, unresolved_private, resolver)
 
 
-def _is_private_host_uncached(host, dns, unresolved_private):  # noqa: ANN001
+def _is_private_host_uncached(host, dns, unresolved_private, resolver=None):  # noqa: ANN001
     h = host.strip("[]")
     if dns and h in dns:
         h = dns[h]
     try:
         ip = ipaddress.ip_address(h)
     except ValueError:
-        return unresolved_private  # named host the resolver can't place
+        if resolver is not None:
+            # live DNS: resolution error => fail closed (drop the link)
+            try:
+                resolved = resolver(h)
+            except Exception:
+                return True
+            if resolved is None:
+                return True
+            try:
+                ip = ipaddress.ip_address(resolved)
+            except ValueError:
+                return True
+        else:
+            return unresolved_private  # named host, no resolver wired in
     return any(ip in net for net in _PRIVATE_NETS)
 
 
@@ -174,6 +193,7 @@ def extract_links(
     content: str,
     dns: dict[str, str] | None = None,
     unresolved_private: bool = False,
+    resolver: Callable[[str], str | None] | None = None,
 ) -> tuple[list[str], list[str]]:
     """(follow_links, nofollow_links) with the reference's exact pipeline:
 
@@ -194,7 +214,7 @@ def extract_links(
     seen: set[str] = set()
     for tag_match in FIND_LINK_RE.finditer(content):
         link = resolve_url(rel_to, tag_match.group(1))
-        if not _retain_link(src_host, link, dns, unresolved_private):
+        if not _retain_link(src_host, link, dns, unresolved_private, resolver):
             continue
         link = strip_fragment(link)
         if link in seen:
@@ -209,7 +229,7 @@ def extract_links(
     return follow, nofollow
 
 
-def _retain_link(src_host: str, link: str | None, dns, unresolved_private=False) -> bool:  # noqa: ANN001
+def _retain_link(src_host: str, link: str | None, dns, unresolved_private=False, resolver=None) -> bool:  # noqa: ANN001
     if not link:
         return False
     head = link[:8].lower()  # scheme check sans urlsplit (it lowercases)
@@ -218,7 +238,7 @@ def _retain_link(src_host: str, link: str | None, dns, unresolved_private=False)
     host = _hostname(link)
     if host == src_host:
         return True
-    return not is_private_host(host, dns, unresolved_private)
+    return not is_private_host(host, dns, unresolved_private, resolver)
 
 
 # ---------------------------------------------------------------------------

@@ -41,12 +41,42 @@ async def _get_one(
     url: str,
     resolve: Callable[[str, int], tuple[str, int]] | None,
     timeout: float,
+    max_redirects: int = 5,
 ) -> tuple[int, str, bytes]:
+    """One GET, following up to ``max_redirects`` 3xx hops (the reference
+    uses Go net/http's default client, which follows redirects — a site
+    whose root 301s to www/ or a trailing slash must not crawl as a
+    permanent failure)."""
+    for _ in range(max_redirects + 1):
+        status, ctype, body, location = await _get_raw(url, resolve, timeout)
+        if status in (301, 302, 303, 307, 308) and location:
+            from urllib.parse import urljoin
+
+            url = urljoin(url, location)  # re-resolve against request URL
+            continue
+        return status, ctype, body
+    return status, ctype, body  # redirect budget exhausted: surface last 3xx
+
+
+async def _get_raw(
+    url: str,
+    resolve: Callable[[str, int], tuple[str, int]] | None,
+    timeout: float,
+) -> tuple[int, str, bytes, str]:
     parts = urlsplit(url)
-    host, port = parts.hostname or "", parts.port or 80
+    is_https = parts.scheme == "https"
+    host, port = parts.hostname or "", parts.port or (443 if is_https else 80)
     chost, cport = resolve(host, port) if resolve else (host, port)
+    ssl_ctx = None
+    if is_https:
+        import ssl
+
+        ssl_ctx = ssl.create_default_context()
     reader, writer = await asyncio.wait_for(
-        asyncio.open_connection(chost, cport), timeout
+        asyncio.open_connection(chost, cport, ssl=ssl_ctx, server_hostname=host or None)
+        if ssl_ctx
+        else asyncio.open_connection(chost, cport),
+        timeout,
     )
     try:
         path = parts.path or "/"
@@ -70,7 +100,7 @@ async def _get_one(
         raise ValueError("malformed HTTP response")
     lines = head.split(_CRLF)
     status = int(lines[0].split()[1])
-    ctype, chunked, clen = "", False, None
+    ctype, chunked, clen, location = "", False, None, ""
     for ln in lines[1:]:
         k, _, v = ln.partition(b":")
         k = k.strip().lower()
@@ -83,11 +113,13 @@ async def _get_one(
                 clen = int(v.strip())
             except ValueError:
                 pass
+        elif k == b"location":
+            location = v.strip().decode("latin1")
     if chunked:
         body = _dechunk(body)
     elif clen is not None:
         body = body[:clen]
-    return status, ctype, body
+    return status, ctype, body, location
 
 
 def _dechunk(body: bytes) -> bytes:

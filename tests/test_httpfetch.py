@@ -21,6 +21,11 @@ from go_crawler_spark.operators.httpfetch import http_fetch_fn
 ROUTES = {
     ("srv1.test", "/"): (200, "application/xhtml", fixtures.GOLDEN_SERVER_RES),
     ("srv2.test", "/"): (200, "application/xhtml", fixtures.GOLDEN_SERVER_RES),
+    # redirect chain: /old -> /hop (relative Location) -> /
+    ("srv1.test", "/old"): (301, "/hop", None),
+    ("srv1.test", "/hop"): (302, "http://srv1.test/", None),
+    # a loop that must exhaust the redirect budget, not hang
+    ("srv1.test", "/loop"): (301, "/loop", None),
 }
 
 
@@ -34,6 +39,12 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             return
         status, ctype, body = hit
+        if body is None:  # redirect route: ctype carries the Location
+            self.send_response(status)
+            self.send_header("Location", ctype)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         data = body.encode("utf-8")
         self.send_response(status)
         self.send_header("Content-Type", ctype)
@@ -112,3 +123,47 @@ def test_http_fetch_per_host_cap_and_errors(spark, golden_server):
     out = http_fetch_fn(resolve=resolve, per_host=2, timeout_sec=10.0)(df).collect()
     assert len(out) == 20  # down.test dropped, all srv1 fetched
     assert all(b"A title" in bytes(r.html) for r in out)
+
+
+def test_http_fetch_follows_redirects(spark, golden_server):
+    """3xx hops (relative and absolute Location) land on the final 200;
+    a redirect loop exhausts the bounded budget and is dropped by the
+    2xx post-filter instead of hanging (Go net/http follows redirects by
+    default — link_fetcher.go's client — so must we)."""
+    port = golden_server
+
+    def resolve(host, p):
+        return ("127.0.0.1", port)
+
+    df = spark.createDataFrame(
+        [("http://srv1.test/old",), ("http://srv1.test/loop",)], "url string"
+    ).coalesce(1)
+    out = http_fetch_fn(resolve=resolve, timeout_sec=10.0)(df).collect()
+    assert len(out) == 1
+    assert out[0].url == "http://srv1.test/old"  # frontier identity is the request URL
+    assert out[0].status == 200
+    assert b"A title" in bytes(out[0].html)
+
+
+def test_https_defaults_to_port_443():
+    """https URLs must resolve to port 443 and negotiate TLS — not open a
+    plaintext socket to port 80 (which silently fails on every real
+    https URL)."""
+    import asyncio
+
+    from go_crawler_spark.operators import httpfetch
+
+    seen_ports = []
+
+    def resolve(host, port):
+        seen_ports.append(port)
+        return ("127.0.0.1", 1)  # closed port: connect fails fast
+
+    async def run():
+        try:
+            await httpfetch._get_one("https://secure.test/x", resolve, timeout=2.0)
+        except Exception:
+            pass  # refused — we only assert the resolved port + TLS intent
+
+    asyncio.run(run())
+    assert seen_ports == [443]

@@ -224,6 +224,39 @@ def test_privnet_fail_closed():
     assert follow_open == ["http://other.test/x", "http://me.test/same"]
 
 
+def test_privnet_live_resolver_hook():
+    """A pluggable resolver (socket.gethostbyname in production) drives
+    privnet for named hosts; resolution ERROR fails closed — the link is
+    dropped — exactly privnet.go:62-75."""
+    table = {"public.test": "93.184.216.34", "hidden.test": "192.168.7.7"}
+
+    def resolve(h):
+        if h == "broken.test":
+            raise OSError("NXDOMAIN")
+        return table.get(h)  # None for unknown hosts
+
+    assert not is_private_host("public.test", resolver=resolve)
+    assert is_private_host("hidden.test", resolver=resolve)  # resolves private
+    assert is_private_host("broken.test", resolver=resolve)  # error => closed
+    assert is_private_host("unknown.test", resolver=resolve)  # None => closed
+    # IP literals never consult the resolver
+    assert not is_private_host("8.8.8.8", resolver=resolve)
+    assert is_private_host("10.0.0.1", resolver=resolve)
+    # static map takes precedence; resolver covers the misses
+    assert is_private_host(
+        "evil.internal", dns={"evil.internal": "10.0.0.5"}, resolver=resolve
+    )
+    # end-to-end: extract_links drops the unresolvable cross-host link,
+    # keeps the resolvable-public one and the same-host shortcut
+    html = (
+        '<a href="http://broken.test/x">err</a>'
+        '<a href="http://public.test/y">ok</a>'
+        '<a href="/same">same-host</a>'
+    )
+    follow, _ = extract_links("http://me.test/", html, resolver=resolve)
+    assert follow == ["http://public.test/y", "http://me.test/same"]
+
+
 def test_canonicalize_url():
     assert canonicalize_url("http://a.com/p#frag") == "http://a.com/p"
     assert canonicalize_url("ftp://a.com/p") is None
