@@ -23,10 +23,16 @@ delta (selected-row attempt marks, newly discovered URLs, new edges, new
 document versions) — O(changes), never O(table) — and readers reconcile
 per key (greatest-timestamp per url_hash; latest-crawl edge set per src;
 latest document version).  Every ``compact_interval`` iterations the
-tables are compacted (rewritten reconciled) to bound read amplification.
-This is exactly Iceberg's MoR + maintenance-compaction pattern; with an
-Iceberg catalog the appends become fast-appends and compaction becomes
-``rewrite_data_files``.
+tables are compacted to bound read amplification — and because all three
+state tables are BUCKETED on their hash key (Iceberg ``bucket(N)``
+layout), compaction reconciles and rewrites only the buckets that
+accumulated delta dirs; never-appended-to buckets keep their exact
+files.  With ``num_buckets`` equal to the shuffle partition count (the
+default) every delta write is also CLUSTERED: bucket id == Spark
+hash-partition id, so the dynamic-partition write emits one file per
+bucket with no extra exchange.  This is exactly Iceberg's MoR +
+maintenance-compaction pattern; with an Iceberg catalog the appends
+become fast-appends and compaction becomes ``rewrite_data_files``.
 
 Checkpoint/resume: after every iteration a record with the snapshot id of
 every table plus metrics is appended to ``crawl_state.jsonl``.  A killed
@@ -75,6 +81,12 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     use_bloom: bool = True
     compact_interval: int = 8  # MoR maintenance cadence (iterations)
+    # Bucket count for the frontier/edges/documents state tables (the
+    # Iceberg bucket(N, url_hash) layout).  None -> the session's shuffle
+    # partition count, which makes every per-iteration delta write
+    # CLUSTERED (bucket == Spark hash partition; zero added shuffle).
+    # Fixed at table creation; a resume with a different count raises.
+    state_buckets: int | None = None
     politeness_mode: str = "exact"  # or "salted_quota" (see frontier.py)
     seed_priority: float = 1.0
     # child priority = parent_depth decay (priority-ordered frontier)
@@ -148,6 +160,16 @@ class Crawler:
         self.shuffle_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
+        self.cfg = config or CrawlConfig()
+        # State tables are bucketed on their hash key (Iceberg bucket(N)
+        # layout): merges/compactions rewrite only touched buckets, and
+        # with num_buckets == shuffle partitions every delta write is
+        # already bucket-pure per task (clustered: no extra exchange).
+        nb = self.cfg.state_buckets or self.shuffle_partitions
+        self._clustered = nb == self.shuffle_partitions
+        self.t_frontier = tables.FRONTIER.with_buckets("url_hash", nb)
+        self.t_edges = tables.EDGES.with_buckets("src_hash", nb)
+        self.t_documents = tables.DOCUMENTS.with_buckets("url_hash", nb)
         # Cache the prepared corpus ONCE, hash-partitioned on the join key.
         # Without the cache every iteration re-scans the pages parquet AND
         # re-runs the per-url dedup window (a full shuffle of the html
@@ -167,7 +189,6 @@ class Crawler:
         # default join path keeps url_hash partitioning through the fetch
         # join, so the extract stage needs no extra repartition
         self._fetch_copartitioned = fetch_fn is None and pages is not None
-        self.cfg = config or CrawlConfig()
         self.host_budgets = host_budgets
         self.robots = robots
         self.state_path = os.path.join(warehouse, STATE_FILE)
@@ -254,12 +275,15 @@ class Crawler:
         ).dropDuplicates(["url_hash"])
 
         snaps = {
-            "frontier": self.lake.overwrite(tables.FRONTIER, seeds),
+            # dropDuplicates hash-partitioned seeds on url_hash: clustered
+            "frontier": self.lake.overwrite(
+                self.t_frontier, seeds, clustered=self._clustered
+            ),
             "edges": self.lake.overwrite(
-                tables.EDGES, self.spark.createDataFrame([], tables.EDGES.schema)
+                self.t_edges, self.spark.createDataFrame([], tables.EDGES.schema)
             ),
             "documents": self.lake.overwrite(
-                tables.DOCUMENTS,
+                self.t_documents,
                 self.spark.createDataFrame([], tables.DOCUMENTS.schema),
             ),
         }
@@ -280,30 +304,28 @@ class Crawler:
     @staticmethod
     def _reconcile_frontier(raw: DataFrame) -> DataFrame:
         """One row per url_hash with greatest timestamps (J1 GREATEST
-        semantics) and first-discovery priority/depth."""
+        semantics) and first-discovery priority/depth.
+
+        Attempt-mark delta rows are SLIM — null url/host/priority (only
+        the key + timestamps change on an attempt) — so url/host come
+        from the discovery row via first(ignorenulls).  Key-local, so it
+        is a valid per-bucket ``compact_table`` reconcile."""
         return raw.groupBy("url_hash").agg(
-            F.first("url").alias("url"),
-            F.first("host").alias("host"),
+            F.first("url", ignorenulls=True).alias("url"),
+            F.first("host", ignorenulls=True).alias("host"),
             F.max("priority").alias("priority"),
             F.min("discovered_iter").alias("discovered_iter"),
             F.max("retrieved_at").alias("retrieved_at"),
             F.max("last_attempt").alias("last_attempt"),
         )
 
-    def read_frontier(self) -> DataFrame:
-        """The reconciled frontier: the hot in-memory copy when the loop
-        is running, else reconciled from the appended disk deltas (fresh
-        Crawler / resume)."""
-        if self._frontier is not None:
-            return self._frontier
-        return self._reconcile_frontier(self.lake.read(tables.FRONTIER))
-
-    def read_edges(self) -> DataFrame:
-        """Reconcile edges: per source, only the latest crawl's edge set
-        survives (U2 RemoveStaleEdges); null-dst rows are re-crawl markers."""
+    @staticmethod
+    def _reconcile_edges(raw: DataFrame) -> DataFrame:
+        """Per source, only the latest crawl's edge set survives (U2
+        RemoveStaleEdges); null-dst rows are re-crawl markers.  Key-local
+        per src_hash (the edges bucket key)."""
         from pyspark.sql import Window
 
-        raw = self.lake.read(tables.EDGES)
         w = Window.partitionBy("src_hash")
         return (
             raw.withColumn("_latest", F.max("updated_at").over(w))
@@ -315,12 +337,12 @@ class Crawler:
             .dropDuplicates(["src_hash", "dst_hash"])
         )
 
-    def read_documents(self) -> DataFrame:
-        """Reconcile documents: latest version per url_hash; pagerank is
-        carried from any version (preserved across reindex, J4)."""
+    @staticmethod
+    def _reconcile_documents(raw: DataFrame) -> DataFrame:
+        """Latest version per url_hash; pagerank carried from any version
+        (preserved across reindex, J4).  Key-local per url_hash."""
         from pyspark.sql import Window
 
-        raw = self.lake.read(tables.DOCUMENTS)
         wk = Window.partitionBy("url_hash")
         wo = wk.orderBy(F.desc("indexed_at"))
         return (
@@ -333,15 +355,38 @@ class Crawler:
             )
         )
 
+    def read_frontier(self) -> DataFrame:
+        """The reconciled frontier: the hot in-memory copy when the loop
+        is running, else reconciled from the appended disk deltas (fresh
+        Crawler / resume)."""
+        if self._frontier is not None:
+            return self._frontier
+        return self._reconcile_frontier(self.lake.read(self.t_frontier))
+
+    def read_edges(self) -> DataFrame:
+        return self._reconcile_edges(self.lake.read(self.t_edges))
+
+    def read_documents(self) -> DataFrame:
+        return self._reconcile_documents(self.lake.read(self.t_documents))
+
     def compact(self, iteration: int) -> None:
-        """MoR maintenance: rewrite each state table reconciled (bounds
-        read amplification; Iceberg analog: rewrite_data_files), and
-        flush the in-memory Bloom shards to disk (its durable cadence —
-        see refresh_bloom for why staleness in between is safe)."""
+        """MoR maintenance (Iceberg ``rewrite_data_files``): reconcile and
+        rewrite ONLY the buckets that accumulated delta dirs since the
+        last compaction — never-appended-to buckets keep their exact
+        files — and flush the in-memory Bloom shards to disk (their
+        durable cadence; staleness in between is safe, see the Bloom
+        refresh note in run_iteration)."""
+        c = self._clustered
         snaps = {
-            "frontier": self.lake.overwrite(tables.FRONTIER, self.read_frontier()),
-            "edges": self.lake.overwrite(tables.EDGES, self.read_edges()),
-            "documents": self.lake.overwrite(tables.DOCUMENTS, self.read_documents()),
+            "frontier": self.lake.compact_table(
+                self.t_frontier, self._reconcile_frontier, clustered=c
+            ),
+            "edges": self.lake.compact_table(
+                self.t_edges, self._reconcile_edges, clustered=c
+            ),
+            "documents": self.lake.compact_table(
+                self.t_documents, self._reconcile_documents, clustered=c
+            ),
         }
         if self.cfg.use_bloom:
             snaps["bloom"] = (
@@ -487,22 +532,39 @@ class Crawler:
             F.lit(pass_ts).alias("indexed_at"),
             F.lit(None).cast("double").alias("pagerank"),
         )
+        # Attempt marks are SLIM: only (url_hash, timestamps) change on an
+        # attempt — url/host/priority/discovered_iter live in the key's
+        # discovery row and are re-derived at reconcile (first ignorenulls).
+        # At a 10^10-row frontier this stops every iteration re-shipping
+        # the URL+host strings of the whole selected slice through the
+        # delta write and the state-refresh shuffle.
+        _null_str = F.lit(None).cast("string")
         fetched_updates = extracted.select(
-            "url_hash", "url", "host", "priority", "discovered_iter",
+            "url_hash",
+            _null_str.alias("url"),
+            _null_str.alias("host"),
+            F.lit(None).cast("double").alias("priority"),
+            F.lit(None).cast("int").alias("discovered_iter"),
             F.lit(pass_ts).alias("retrieved_at"),
             F.lit(pass_ts).alias("last_attempt"),
         )
         failed_updates = (
-            selected.join(
+            selected.select("url_hash")
+            .join(
                 extracted.select("url_hash").hint("SHUFFLE_HASH"),
                 "url_hash",
                 "left_anti",
             )
             .select(
-                "url_hash", "url", "host", "priority", "discovered_iter",
-                # fresh alias: a passthrough attribute inside a Union trips
-                # LogicalRDD.fromDataset's constraint rewrite on checkpoint
-                F.col("retrieved_at").alias("retrieved_at"),
+                "url_hash",
+                _null_str.alias("url"),
+                _null_str.alias("host"),
+                F.lit(None).cast("double").alias("priority"),
+                F.lit(None).cast("int").alias("discovered_iter"),
+                # a failed attempt does not bump retrieved_at (reference
+                # bumps it only on pipeline completion); reconcile keeps
+                # the old value via max()
+                F.lit(None).cast("timestamp").alias("retrieved_at"),
                 F.lit(pass_ts).alias("last_attempt"),
             )
         )
@@ -514,14 +576,16 @@ class Crawler:
         delta = marks.withColumn("_delta", F.lit("marks")).unionByName(
             new_rows.withColumn("_delta", F.lit("new"))
         )
-        new_edges = (
-            out_links.where(~F.col("nofollow"))  # F8: nofollow -> no edge
-            .select(
-                "src_hash",
-                F.col("url_hash").alias("dst_hash"),
-                F.lit(pass_ts).alias("updated_at"),
-            )
-            .dropDuplicates(["src_hash", "dst_hash"])
+        # No pair-dedup shuffle here: extract_links dedups links per page
+        # and the frontier holds one row per url_hash, so (src, dst) is
+        # already unique by construction — and read_edges' reconcile
+        # dropDuplicates would absorb any violation.  Keeping the plan
+        # shuffle-free also keeps it src_hash-partitioned, so the bucketed
+        # edges append below is clustered (bucket-pure per task).
+        new_edges = out_links.where(~F.col("nofollow")).select(  # F8
+            "src_hash",
+            F.col("url_hash").alias("dst_hash"),
+            F.lit(pass_ts).alias("updated_at"),
         )
         markers = extracted.select(
             F.col("url_hash").alias("src_hash"),
@@ -534,17 +598,24 @@ class Crawler:
         snaps = {}
         with ThreadPoolExecutor(max_workers=3) as pool:
             f_docs = pool.submit(
-                self.lake.append_counted, tables.DOCUMENTS, docs
+                self.lake.append_counted, self.t_documents, docs, self._clustered
             )
             # ONE tagged frontier append: attempt-marks + newly discovered
             # URLs in a single job/commit (J1 greatest(retrieved_at)
             # semantics via reconcile); per-tag footer counts = metrics
             f_delta = pool.submit(
-                self.lake.append_tagged, tables.FRONTIER, delta, "_delta"
+                self.lake.append_tagged,
+                self.t_frontier,
+                delta,
+                "_delta",
+                self._clustered,
             )
             # edges + null-dst re-crawl markers (J2 + U2 via reconcile)
             f_edges = pool.submit(
-                self.lake.append, tables.EDGES, new_edges.unionByName(markers)
+                self.lake.append,
+                self.t_edges,
+                new_edges.unionByName(markers),
+                self._clustered,
             )
             snaps["documents"], n_fetched = f_docs.result()
             snaps["frontier"], dcounts = f_delta.result()
@@ -602,7 +673,7 @@ class Crawler:
             # frontier cache (otherwise the first iteration would re-derive
             # the disk reconcile once per consuming job)
             self._frontier = self._reconcile_frontier(
-                self.lake.read(tables.FRONTIER)
+                self.lake.read(self.t_frontier)
             ).localCheckpoint(eager=True)
             start_iter = rp["iteration"] + 1
         else:

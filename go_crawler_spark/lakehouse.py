@@ -18,10 +18,14 @@ Replaces the reference's CockroachDB tables + migrations
 (migrations/01_create_links_table.up.sql, 02_create_edges_table.up.sql)
 and its in-memory stores (graph/store/memory/memory.go).
 
-At 100 TB the only structural difference vs Iceberg is that ``merge``
-here rewrites the whole table instead of just the touched buckets; the
-call sites are written so that swapping in a real Iceberg ``MERGE INTO``
-is a one-line change per table.
+Bucketed specs (``TableSpec.with_buckets``) give the Iceberg
+``bucket(N, col)`` layout: the manifest tracks PER-BUCKET data dirs, so
+``merge_upsert`` and ``compact_table`` rewrite only the touched buckets
+and untouched buckets keep their exact files — the crawl's frontier/
+edges/documents state tables run this way, with maintenance cost
+O(appended-to buckets) instead of O(table).  Swapping in a real Iceberg
+``MERGE INTO`` / ``rewrite_data_files`` stays a one-line change per
+call site.
 """
 
 from __future__ import annotations
@@ -63,8 +67,16 @@ class TableSpec:
 
 
 def bucket_col(hash_col: str, num_buckets: int) -> F.Column:
-    """Iceberg-style bucket transform: pmod(hash, N)."""
-    return F.pmod(F.col(hash_col), F.lit(num_buckets)).cast("int")
+    """Iceberg-style bucket transform: pmod(murmur3(col), N).
+
+    ``F.hash`` is the same Murmur3 expression Spark's HashPartitioning
+    uses, so when ``num_buckets`` equals the shuffle partition count, a
+    DataFrame that is already ``repartition(N, hash_col)``-partitioned is
+    bucket-PURE per task — clustered writes (``clustered=True``) then
+    need no extra exchange and still produce one file per touched bucket.
+    (Iceberg's ``bucket(N, col)`` transform is likewise murmur3-based.)
+    """
+    return F.pmod(F.hash(F.col(hash_col)), F.lit(num_buckets)).cast("int")
 
 
 class Lakehouse:
@@ -98,6 +110,18 @@ class Lakehouse:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path(name))  # atomic swap
 
+    @staticmethod
+    def _check_buckets(spec: TableSpec, manifest: dict) -> None:
+        """The bucket layout is a table property fixed at creation: bucket
+        ids baked into existing dir names were computed with THAT count,
+        so mixing counts would silently mis-prune merges/compactions."""
+        have = manifest.get("num_buckets")
+        if manifest["current"] is not None and have not in (None, spec.num_buckets):
+            raise ValueError(
+                f"{spec.name}: table has num_buckets={have}, "
+                f"spec says {spec.num_buckets} — bucket count is immutable"
+            )
+
     def current_snapshot(self, name: str) -> str | None:
         return self._read_manifest(name)["current"]
 
@@ -126,6 +150,7 @@ class Lakehouse:
             return self.spark.createDataFrame([], spec.schema)
         rel_dirs = m["snapshots"][snap]["data_dirs"]
         if buckets is not None:
+            self._check_buckets(spec, m)
             want = {f"_bucket={b}" for b in buckets}
             rel_dirs = [d for d in rel_dirs if os.path.basename(d) in want]
         if not rel_dirs:
@@ -145,25 +170,31 @@ class Lakehouse:
         writer.parquet(path)
         return data_dir
 
-    def _new_bucketed_dirs(self, name: str, df: DataFrame, spec: TableSpec) -> list[str]:
+    def _new_bucketed_dirs(
+        self, name: str, df: DataFrame, spec: TableSpec, clustered: bool = False
+    ) -> list[str]:
         """Write a bucketed data dir; returns the PER-BUCKET relative dirs.
 
         Rows are clustered by bucket before the write (one file per
         touched bucket, not tasks x buckets files) and the manifest gets
         one entry per bucket so later merges/compactions can swap
         individual buckets while untouched buckets keep their exact files.
+
+        ``clustered=True`` asserts the input is ALREADY hash-partitioned
+        on ``spec.bucket_hash_col`` with ``num_buckets`` partitions (the
+        crawl's per-iteration deltas are), skipping the clustering
+        exchange — the dynamic-partition write then emits one file per
+        bucket with zero added shuffle.  A mis-declared ``clustered``
+        only costs extra files per bucket dir, never correctness.
         """
         data_dir = f"data-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self._table_dir(name), data_dir)
-        (
-            df.withColumn(
-                "_bucket", bucket_col(spec.bucket_hash_col, spec.num_buckets)
-            )
-            .repartition("_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(path)
+        bucketed = df.withColumn(
+            "_bucket", bucket_col(spec.bucket_hash_col, spec.num_buckets)
         )
+        if not clustered:
+            bucketed = bucketed.repartition("_bucket")
+        bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(path)
         out = sorted(
             os.path.join(data_dir, d)
             for d in os.listdir(path)
@@ -173,6 +204,8 @@ class Lakehouse:
 
     def _commit(self, spec: TableSpec, data_dirs: list[str], op: str) -> str:
         m = self._read_manifest(spec.name)
+        self._check_buckets(spec, m)
+        m["num_buckets"] = spec.num_buckets
         snap_id = f"snap-{len(m['snapshots']):06d}-{uuid.uuid4().hex[:8]}"
         m["snapshots"][snap_id] = {
             "data_dirs": data_dirs,
@@ -184,19 +217,23 @@ class Lakehouse:
         self._write_manifest(spec.name, m)
         return snap_id
 
-    def overwrite(self, spec: TableSpec, df: DataFrame) -> str:
+    def overwrite(self, spec: TableSpec, df: DataFrame, clustered: bool = False) -> str:
         if spec.bucketed:
-            dirs = self._new_bucketed_dirs(spec.name, _conform(df, spec), spec)
+            dirs = self._new_bucketed_dirs(
+                spec.name, _conform(df, spec), spec, clustered
+            )
             return self._commit(spec, dirs, "overwrite")
         d = self._new_data_dir(spec.name, _conform(df, spec), spec)
         return self._commit(spec, [d], "overwrite")
 
-    def append(self, spec: TableSpec, df: DataFrame) -> str:
+    def append(self, spec: TableSpec, df: DataFrame, clustered: bool = False) -> str:
         """Fast-append: new data dir + parent dirs, no rewrite of old data."""
-        snap, _ = self.append_counted(spec, df)
+        snap, _ = self.append_counted(spec, df, clustered)
         return snap
 
-    def append_counted(self, spec: TableSpec, df: DataFrame) -> tuple[str, int]:
+    def append_counted(
+        self, spec: TableSpec, df: DataFrame, clustered: bool = False
+    ) -> tuple[str, int]:
         """Append and return (snapshot_id, rows_written).
 
         The row count comes from the written parquet footers (driver-side
@@ -208,7 +245,9 @@ class Lakehouse:
             m["snapshots"][m["current"]]["data_dirs"] if m["current"] else []
         )
         if spec.bucketed:
-            new_dirs = self._new_bucketed_dirs(spec.name, _conform(df, spec), spec)
+            new_dirs = self._new_bucketed_dirs(
+                spec.name, _conform(df, spec), spec, clustered
+            )
             snap = self._commit(spec, parent_dirs + new_dirs, "append")
             n = sum(
                 rows_in_dir(os.path.join(self._table_dir(spec.name), d))
@@ -220,7 +259,7 @@ class Lakehouse:
         return snap, rows_in_dir(os.path.join(self._table_dir(spec.name), d))
 
     def append_tagged(
-        self, spec: TableSpec, df: DataFrame, tag_col: str
+        self, spec: TableSpec, df: DataFrame, tag_col: str, clustered: bool = False
     ) -> tuple[str, dict[str, int]]:
         """One append JOB writing several logical deltas at once.
 
@@ -229,6 +268,11 @@ class Lakehouse:
         single data dir — one Spark job, one commit, and per-tag row
         counts from the footers (the crawl fuses its two frontier deltas
         — attempt marks + newly discovered URLs — into one job this way).
+
+        Bucketed spec: the write is partitioned by (tag, bucket) and the
+        manifest tracks the per-bucket LEAF dirs, so tagged appends
+        compose with touched-bucket merges/compactions exactly like plain
+        appends.
         """
         m = self._read_manifest(spec.name)
         parent_dirs = (
@@ -238,14 +282,30 @@ class Lakehouse:
         out = df.select(*cols, F.col(tag_col))
         data_dir = f"data-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self._table_dir(spec.name), data_dir)
-        out.write.mode("overwrite").partitionBy(tag_col).parquet(path)
+        if spec.bucketed:
+            out = out.withColumn(
+                "_bucket", bucket_col(spec.bucket_hash_col, spec.num_buckets)
+            )
+            if not clustered:
+                out = out.repartition("_bucket")
+            out.write.mode("overwrite").partitionBy(tag_col, "_bucket").parquet(path)
+        else:
+            out.write.mode("overwrite").partitionBy(tag_col).parquet(path)
         tag_dirs = sorted(
             d for d in os.listdir(path) if d.startswith(f"{tag_col}=")
         )
         counts = {
             d.split("=", 1)[1]: rows_in_dir(os.path.join(path, d)) for d in tag_dirs
         }
-        new_dirs = [os.path.join(data_dir, d) for d in tag_dirs]
+        if spec.bucketed:
+            new_dirs = sorted(
+                os.path.join(data_dir, td, bd)
+                for td in tag_dirs
+                for bd in os.listdir(os.path.join(path, td))
+                if bd.startswith("_bucket=")
+            )
+        else:
+            new_dirs = [os.path.join(data_dir, d) for d in tag_dirs]
         snap = self._commit(spec, parent_dirs + new_dirs, "append")
         return snap, counts
 
@@ -321,7 +381,7 @@ class Lakehouse:
             return self._commit(spec, keep + new_dirs, "merge")
         return self.overwrite(spec, merged)
 
-    def compact_table(self, spec: TableSpec, reconcile=None) -> str:
+    def compact_table(self, spec: TableSpec, reconcile=None, clustered: bool = False) -> str:
         """MoR maintenance (Iceberg ``rewrite_data_files``).
 
         Bucketed spec: ONLY buckets whose data spans more than one data
@@ -351,7 +411,7 @@ class Lakehouse:
         df = self.read(spec, buckets=touched)
         if reconcile is not None:
             df = reconcile(df)
-        new_dirs = self._new_bucketed_dirs(spec.name, _conform(df, spec), spec)
+        new_dirs = self._new_bucketed_dirs(spec.name, _conform(df, spec), spec, clustered)
         want = {f"_bucket={b}" for b in touched}
         keep = [d for d in dirs if os.path.basename(d) not in want]
         return self._commit(spec, keep + new_dirs, "compact")
@@ -365,11 +425,22 @@ class Lakehouse:
 
 
 def rows_in_dir(path: str) -> int:
-    """Row count from parquet footers (no Spark job)."""
+    """Row count from parquet footers (no Spark job).
+
+    Files are enumerated explicitly (recursive glob) rather than via
+    pyarrow's directory discovery: discovery skips anything under a
+    ``_``-prefixed name (default ``ignore_prefixes``), which would make
+    bucketed layouts — ``_bucket=N`` subdirs — silently count as 0.
+    """
+    import glob as _glob
+
     import pyarrow.dataset as pads
 
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        return 0
     try:
-        return pads.dataset(path, format="parquet").count_rows()
+        return pads.dataset(files, format="parquet").count_rows()
     except Exception:
         return -1
 

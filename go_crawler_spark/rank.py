@@ -51,7 +51,10 @@ def rank_and_persist(crawler: Crawler, damping: float = 0.85, min_sad: float = 0
         )
         .select(*[f.name for f in tables.DOCUMENTS.schema.fields])
     )
-    snap = crawler.lake.overwrite(tables.DOCUMENTS, scored)
+    # the join above left scored hash-partitioned on url_hash: clustered
+    snap = crawler.lake.overwrite(
+        crawler.t_documents, scored, clustered=crawler._clustered
+    )
     snapshots = {
         name: crawler.lake.current_snapshot(name)
         for name in ("frontier", "edges", "bloom")

@@ -37,7 +37,12 @@ FRONTIER = TableSpec(
     T.StructType(
         [
             T.StructField("url_hash", T.LongType(), False),
-            T.StructField("url", T.StringType(), False),
+            # Nullable: attempt-mark deltas (merge-on-read) carry ONLY
+            # (url_hash, retrieved_at, last_attempt) — url/host/priority/
+            # discovered_iter are re-derived from the discovery row at
+            # reconcile time, so per-iteration appends don't re-ship the
+            # URL/host strings for every selected row (shuffle+IO bytes).
+            T.StructField("url", T.StringType(), True),
             T.StructField("host", T.StringType()),
             T.StructField("priority", T.DoubleType()),
             T.StructField("discovered_iter", T.IntegerType()),

@@ -183,3 +183,76 @@ def test_robots_disallow(spark, tmp_warehouse):
     crawler.run(seed_urls=["http://srv1.test", "http://srv2.test"])
     docs = {r.url for r in crawler.read_documents().collect()}
     assert docs == {"http://srv1.test"}  # srv2 denied by robots
+
+
+def test_compaction_reuses_untouched_bucket_files(spark, tmp_warehouse, synth):
+    """State-table maintenance is O(appended-to buckets), not O(table):
+    after a multi-iteration crawl, compacting the bucketed frontier/edges/
+    documents reuses the EXACT files of every bucket that accumulated no
+    delta dirs, and the reconciled state is unchanged."""
+    import os
+
+    pages_df, pages_dict, seeds = synth
+    cfg = CrawlConfig(
+        max_iterations=3,
+        bloom_buckets=8,
+        compact_interval=1000,  # no auto-compact: we drive it explicitly
+        state_buckets=64,  # many buckets so a small crawl leaves some untouched
+        default_host_budget=20,
+    )
+    crawler = Crawler(spark, tmp_warehouse, pages_df, cfg)
+    crawler.run(seed_urls=seeds)
+
+    def bucket_files(spec):
+        m = crawler.lake._read_manifest(spec.name)
+        dirs = m["snapshots"][m["current"]]["data_dirs"]
+        out = {}
+        for d in dirs:
+            full = os.path.join(crawler.lake._table_dir(spec.name), d)
+            out[d] = {
+                f: (os.path.getsize(os.path.join(full, f)),
+                    os.stat(os.path.join(full, f)).st_mtime_ns)
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            }
+        return out
+
+    pre_frontier = {
+        r.url_hash: (r.url, r.retrieved_at) for r in crawler.read_frontier().collect()
+    }
+    pre_edges = {
+        (r.src_hash, r.dst_hash) for r in crawler.read_edges().collect()
+    }
+
+    from collections import Counter
+
+    specs = [crawler.t_frontier, crawler.t_edges, crawler.t_documents]
+    before = {s.name: bucket_files(s) for s in specs}
+    # the crawl must have left BOTH kinds: multi-dir (appended-to) buckets
+    # and single-dir (untouched) buckets, or the test proves nothing
+    per_bucket = Counter(
+        d.rsplit("/", 1)[-1] for d in before["frontier"]
+    )
+    assert any(c > 1 for c in per_bucket.values())
+    assert any(c == 1 for c in per_bucket.values())
+
+    crawler.compact(iteration=999)
+
+    for spec in specs:
+        after = bucket_files(spec)
+        counts = Counter(d.rsplit("/", 1)[-1] for d in before[spec.name])
+        untouched = {b for b, c in counts.items() if c == 1}
+        for d, files in before[spec.name].items():
+            if d.rsplit("/", 1)[-1] in untouched:
+                assert after.get(d) == files, f"{spec.name}: rewrote untouched {d}"
+        # appended-to buckets consolidated to exactly one dir each
+        after_counts = Counter(d.rsplit("/", 1)[-1] for d in after)
+        assert all(c == 1 for c in after_counts.values()), after_counts
+
+    # reconciled state identical after compaction (fresh crawler, disk read)
+    c2 = Crawler(spark, tmp_warehouse, pages_df, cfg)
+    post_frontier = {
+        r.url_hash: (r.url, r.retrieved_at) for r in c2.read_frontier().collect()
+    }
+    assert post_frontier == pre_frontier
+    assert {(r.src_hash, r.dst_hash) for r in c2.read_edges().collect()} == pre_edges

@@ -88,6 +88,15 @@ def _bucketed_spec(n=8):
     return tables.URL_SEEN.with_buckets("url_hash", n)
 
 
+def _bucket_of(spark, keys, n=8):
+    """Buckets the given url_hash keys land in, via the engine's own
+    bucket transform (murmur3-based, aligned with HashPartitioning)."""
+    from go_crawler_spark.lakehouse import bucket_col
+
+    df = spark.createDataFrame([(k,) for k in keys], "url_hash long")
+    return {r.b for r in df.select(bucket_col("url_hash", n).alias("b")).collect()}
+
+
 def _dirs_of(lake, spec):
     m = lake._read_manifest(spec.name)
     return list(m["snapshots"][m["current"]]["data_dirs"])
@@ -117,17 +126,18 @@ def test_bucketed_merge_touches_only_update_buckets(spark, tmp_warehouse):
     before = _bucket_files(lake, spec)
     assert len(before) == 8  # one manifest entry per bucket
 
-    # update touches exactly buckets pmod({3, 11}, 8) = {3}
+    # update touches exactly the buckets keys {3, 11} hash into
+    want = {f"_bucket={b}" for b in _bucket_of(spark, [3, 11], 8)}
     lake.merge_upsert(
         spec, _seen(spark, [(3, "http://h/3", T2), (11, "http://h/11", T2)]),
         ["url_hash"], greatest_cols=["retrieved_at"],
     )
     after = _bucket_files(lake, spec)
     changed = {d for d in after if after[d] != before.get(d)}
-    assert all(d.endswith("_bucket=3") for d in changed) and changed
+    assert changed and all(d.rsplit("/", 1)[-1] in want for d in changed)
     # untouched buckets: identical files (same path, size, mtime)
     for d in before:
-        if not d.endswith("_bucket=3"):
+        if d.rsplit("/", 1)[-1] not in want:
             assert after[d] == before[d]
     got = {
         r.url_hash: r.retrieved_at.replace(tzinfo=timezone.utc)
@@ -140,7 +150,8 @@ def test_bucketed_compact_reuses_untouched_buckets(spark, tmp_warehouse):
     spec = _bucketed_spec(8)
     lake = Lakehouse(spark, tmp_warehouse)
     lake.overwrite(spec, _seen(spark, [(i, f"http://h/{i}", T0) for i in range(32)]))
-    # appends land only in buckets {1, 2}
+    # appends land only in the buckets keys {9, 10} hash into
+    touched = {f"_bucket={b}" for b in _bucket_of(spark, [9, 10], 8)}
     lake.append(spec, _seen(spark, [(9, "http://h/9b", T1), (10, "http://h/10b", T1)]))
     before = _bucket_files(lake, spec)
 
@@ -151,14 +162,13 @@ def test_bucketed_compact_reuses_untouched_buckets(spark, tmp_warehouse):
 
     lake.compact_table(spec, reconcile)
     after = _bucket_files(lake, spec)
-    # buckets 1,2 consolidated to one dir each; others reference the SAME files
+    # touched buckets consolidated to one dir each; others keep SAME files
     for d, files in before.items():
-        b = d.rsplit("=", 1)[1]
-        if b in ("1", "2"):
+        if d.rsplit("/", 1)[-1] in touched:
             continue
         assert after[d] == files, f"untouched bucket rewritten: {d}"
-    assert sum(1 for d in after if d.endswith("_bucket=1")) == 1
-    assert sum(1 for d in after if d.endswith("_bucket=2")) == 1
+    for t in touched:
+        assert sum(1 for d in after if d.rsplit("/", 1)[-1] == t) == 1
     rows = {r.url_hash: r.url for r in lake.read(spec).collect()}
     assert rows[9] == "http://h/9b" and rows[10] == "http://h/10b"
     assert len(rows) == 32
@@ -172,9 +182,17 @@ def test_bucketed_read_prunes_to_buckets(spark, tmp_warehouse):
     spec = _bucketed_spec(8)
     lake = Lakehouse(spark, tmp_warehouse)
     lake.overwrite(spec, _seen(spark, [(i, f"http://h/{i}", T0) for i in range(32)]))
+    from go_crawler_spark.lakehouse import bucket_col
+
+    expected = {
+        r.url_hash
+        for r in spark.createDataFrame([(i,) for i in range(32)], "url_hash long")
+        .where(bucket_col("url_hash", 8) == 5)
+        .collect()
+    }
     only = lake.read(spec, buckets=[5])
     got = {r.url_hash for r in only.collect()}
-    assert got == {5, 13, 21, 29}  # pmod(h, 8) == 5
+    assert got == expected and expected
     # pruning happens at the manifest level: the plan reads 1 dir not 8
     assert "_bucket=5" in only.inputFiles()[0]
     assert len({f.rsplit("/", 2)[1] for f in only.inputFiles()}) == 1
