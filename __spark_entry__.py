@@ -760,7 +760,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "search_tf_ranked",
-    """
+    r"""
     WITH tk AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text),
@@ -789,6 +789,97 @@ def search_tf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.where(matched)
         .select("doc_id", F.round(tf, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(25)
+    )
+
+
+@_q(
+    "search_bm25_ranked",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                         '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    st AS (
+      SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl,
+             sum(CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             sum(CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df1
+      FROM tk
+    )
+    SELECT doc_id, round(
+        ln(1 + (n - df0 + 0.5)/(df0 + 0.5))
+          * (tf0*2.2)/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+      + ln(1 + (n - df1 + 0.5)/(df1 + 0.5))
+          * (tf1*2.2)/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl)), 6) AS score
+    FROM (
+      SELECT doc_id, len(t)::DOUBLE AS dl,
+             len(list_filter(t, x -> x = 'hash'))::DOUBLE AS tf0,
+             len(list_filter(t, x -> x = 'join'))::DOUBLE AS tf1
+      FROM tk
+    ) CROSS JOIN st
+    WHERE tf0 > 0 AND tf1 > 0 AND dl > 0
+    ORDER BY score DESC, doc_id LIMIT 25
+    """,
+)
+def search_bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-BM25 relevance (the ES ``_score`` the reference's
+    function_score adds PageRank to, es.go:169-197): idf + length
+    normalization over the documents corpus, stats computed as one
+    broadcast 1-row aggregate (operators/search.corpus_stats)."""
+    from go_crawler_spark.operators.search import _field_bm25, corpus_stats
+    from go_crawler_spark.functions.textstats import tokens_col
+
+    d = _read(spark, sf_dir, "documents")
+    stats = corpus_stats(d, ["hash", "join"], ["text"])
+    matched, s = _field_bm25(tokens_col("text"), ["hash", "join"], "text")
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .where(matched)
+        .select("doc_id", F.round(s, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(25)
+    )
+
+
+@_q(
+    "search_phrase_ranked",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                         '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           round(len(list_filter(range(1, len(t)),
+                     i -> t[i:i+1] = ['hash','join']))::DOUBLE / len(t), 6)
+             AS score
+    FROM tk
+    WHERE len(list_filter(range(1, len(t)),
+              i -> t[i:i+1] = ['hash','join'])) > 0
+    ORDER BY score DESC, doc_id LIMIT 25
+    """,
+)
+def search_phrase_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-positional phrase match (bleve/ES ``match_phrase``,
+    indexer/indexer.go:20-31): the query token sequence must appear
+    consecutively in the token stream — JVM-side higher-order slice
+    compare (operators/search.phrase_match), no substring false hits."""
+    from go_crawler_spark.operators.search import phrase_match
+    from go_crawler_spark.functions.textstats import tokens_col
+
+    d = _read(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    matched, occ = phrase_match(toks, ["hash", "join"])
+    return (
+        d.where(matched)
+        .select(
+            "doc_id",
+            F.round(occ.cast("double") / F.size(toks), 6).alias("score"),
+        )
         .orderBy(F.desc("score"), "doc_id")
         .limit(25)
     )

@@ -89,30 +89,50 @@ def image_features(media: DataFrame, fake: bool = True, thumb_size: int = 8) -> 
             "real image decode requires Pillow/libjpeg, not present in this container"
         )
 
+    cols = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One numpy pass over the whole Arrow batch — no per-row Python.
+        step = 16 // thumb_size
+        npix = thumb_size * thumb_size
+        weights = np.uint64(1) << np.arange(min(npix, 64), dtype=np.uint64)
         for b in batches:
-            out = []
-            for _, r in b.iterrows():
-                buf = bytes(r["payload"] or b"")
-                # fake decode: treat payload as a 16x16 grayscale image
-                arr = np.frombuffer(buf[:256].ljust(256, b"\0"), dtype=np.uint8).reshape(16, 16)
-                # fake resize: 2x2 block mean to thumb_size
-                step = 16 // thumb_size
-                thumb = arr[::step, ::step]
-                # perceptual hash: bits = pixel > median
-                bits = (thumb > np.median(thumb)).ravel()[:64]
-                weights = (np.uint64(1) << np.arange(len(bits), dtype=np.uint64))
-                phash = int((bits * weights).sum(dtype=np.uint64).astype(np.int64))
-                out.append(
-                    {
-                        "media_id": r["media_id"],
-                        "n_bytes": len(buf),
-                        "byte_entropy": _byte_entropy(buf),
-                        "phash": phash,
-                        "thumb": thumb.tobytes(),
-                    }
-                )
-            yield pd.DataFrame(out)
+            n = len(b)
+            if n == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            bufs = [bytes(x) if x is not None else b"" for x in b["payload"]]
+            lens = np.fromiter((len(x) for x in bufs), dtype=np.int64, count=n)
+            # fake decode, batched: each payload truncated/zero-padded to
+            # 256 bytes -> one (n, 16, 16) grayscale block
+            grid = np.frombuffer(
+                b"".join(x[:256].ljust(256, b"\0") for x in bufs), dtype=np.uint8
+            ).reshape(n, 16, 16)
+            # fake resize: strided subsample to (n, thumb, thumb)
+            thumbs = np.ascontiguousarray(grid[:, ::step, ::step])
+            flat_t = thumbs.reshape(n, -1)
+            # perceptual hash: bits = pixel > per-image median
+            med = np.median(flat_t, axis=1)[:, None]
+            bits = (flat_t > med)[:, : len(weights)]
+            phash = (bits * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+            # byte entropy over the FULL payload (variable lengths):
+            # row-offset bincount = one histogram per row, one numpy call
+            all_b = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+            row = np.repeat(np.arange(n, dtype=np.int64), lens)
+            counts = np.bincount(row * 256 + all_b, minlength=n * 256).reshape(n, 256)
+            p = counts / np.maximum(lens, 1)[:, None]
+            logp = np.log2(p, out=np.zeros_like(p), where=p > 0)
+            ent = -(p * logp).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"].to_numpy(),
+                    "n_bytes": lens,
+                    "byte_entropy": ent,
+                    "phash": phash,
+                    # (an S-dtype view would strip trailing \0 bytes)
+                    "thumb": [t.tobytes() for t in thumbs],
+                }
+            )
 
     imgs = media.where(F.col("kind") == "image")
     return imgs.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
@@ -133,23 +153,35 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
     if not fake:
         raise NotImplementedError("real frame extraction requires ffmpeg")
 
+    cols = [f.name for f in FRAME_SAMPLE_SCHEMA.fields]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized fan-out: frame counts/indices/offsets computed as
+        # whole-batch numpy ops; only the final byte slices touch Python
+        # (C-level bytes slicing, no iterrows / per-row Series).
         for b in batches:
-            out = []
-            for _, r in b.iterrows():
-                dur = int(r["duration_ms"] or 0)
-                buf = bytes(r["payload"] or b"")
-                for j, ts in enumerate(range(0, dur, every_ms)):
-                    lo = (j * 16) % max(len(buf) - 16, 1)
-                    out.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": j,
-                            "frame_ts_ms": ts,
-                            "frame": buf[lo : lo + 16],
-                        }
-                    )
-            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
+            n = len(b)
+            if n == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            durs = b["duration_ms"].fillna(0).to_numpy().astype(np.int64)
+            bufs = [bytes(x) if x is not None else b"" for x in b["payload"]]
+            lens = np.fromiter((len(x) for x in bufs), dtype=np.int64, count=n)
+            k = np.maximum(-(-durs // every_ms), 0)  # frames per video
+            vid = np.repeat(np.arange(n, dtype=np.int64), k)
+            # concatenated per-video aranges: 0..k_i-1 for each video i
+            total = int(k.sum())
+            fidx = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(k) - k, k)
+            lo = (fidx * 16) % np.maximum(lens - 16, 1)[vid]
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"].to_numpy()[vid],
+                    "frame_idx": fidx.astype(np.int32),
+                    "frame_ts_ms": (fidx * every_ms).astype(np.int32),
+                    "frame": [bufs[v][o : o + 16] for v, o in zip(vid, lo)],
+                },
+                columns=cols,
+            )
 
     vids = media.where(F.col("kind") == "video")
     return vids.mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)

@@ -1,18 +1,31 @@
-"""Search over the documents table: tf-scored token match + PageRank (O1).
+"""Search over the documents table: BM25 token match + PageRank (O1).
 
 The reference's search path (service/frontend/frontend.go:224-275 →
 indexer/store/es/es.go:163-189) issues an ES ``multi_match`` over
 ``[Title, Content]`` with type ``best_fields`` wrapped in a
-``function_score`` whose script is ``_score + doc['PageRank'].value``.
-The engine-core equivalent, all JVM-side:
+``function_score`` whose script is ``_score + doc['PageRank'].value`` —
+and ES's ``_score`` is Lucene BM25.  The engine-core equivalent, all
+JVM-side:
 
 * ``match`` — every query token must appear in the title OR in the text
   (field-local conjunction, ES ``best_fields`` + AND semantics);
-  relevance = the better field's summed per-token term frequency
-  (count of the token / tokens in the field) — two full matches rank by
-  how densely they match, never by an arbitrary id.
-* ``phrase`` — exact lowercased substring; relevance = occurrence count
-  of the phrase normalized by text token count.
+  relevance = the better field's score under ``relevance=``:
+  - ``"bm25"`` (default, ES parity): Lucene BM25 —
+    ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with
+    ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))``; a rare-term match
+    outranks a stopword-dense page, exactly the property plain tf
+    inverts.  Corpus stats (N, per-field avgdl, per-token df) are ONE
+    map-side-combined aggregate over the corpus, broadcast as a 1-row
+    dimension — at 100 TB that is a single stats pass (or a maintained
+    docfreq table passed via ``stats=``), never a per-document job.
+  - ``"tf"``: summed per-token term frequency (the pre-BM25 behavior,
+    kept as the cheap no-stats path).
+* ``phrase`` — token-positional sequence match (bleve/ES
+  ``match_phrase``, indexer/indexer.go:20-31): the query's token
+  sequence must appear consecutively in the field's token stream, so
+  ``"foo bar"`` does NOT match "foo barbell" but does match
+  "foo, bar!" (punctuation the tokenizer strips); relevance =
+  occurrence count / token count.
 
 Ordering:
 * ``scoring="pagerank"`` (frontend list order) — PageRank desc, then
@@ -25,10 +38,15 @@ offset/limit (frontend page size 10).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 from go_crawler_spark.functions.textstats import tokens_col
+
+BM25_K1 = 1.2
+BM25_B = 0.75
 
 
 def _field_tf(toks: Column, q_tokens: list[str]) -> tuple[Column, Column]:
@@ -51,6 +69,79 @@ def _field_tf(toks: Column, q_tokens: list[str]) -> tuple[Column, Column]:
     return matched & (n > 0), tf
 
 
+def corpus_stats(
+    documents: DataFrame, q_tokens: list[str], fields: list[str]
+) -> DataFrame:
+    """BM25 corpus statistics as a 1-row broadcastable dimension.
+
+    One aggregate pass (map-side partial combine) computing N, per-field
+    avgdl, and per-(field, query-token) document frequency.  In a
+    standing deployment this is maintained incrementally as a docfreq
+    table; recomputing per ad-hoc query is one scan either way.
+    """
+    aggs = [F.count(F.lit(1)).alias("bm25_n")]
+    for fld in fields:
+        toks = tokens_col(fld)
+        aggs.append(F.avg(F.size(toks)).alias(f"bm25_avgdl_{fld}"))
+        for i, t in enumerate(q_tokens):
+            aggs.append(
+                F.sum(F.array_contains(toks, t).cast("long")).alias(
+                    f"bm25_df_{fld}_{i}"
+                )
+            )
+    return documents.agg(*aggs)
+
+
+def _field_bm25(
+    toks: Column,
+    q_tokens: list[str],
+    fld: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> tuple[Column, Column]:
+    """(all_tokens_present, BM25 score) for one field, reading the
+    corpus-stats columns that ``corpus_stats`` broadcast onto the row."""
+    dl = F.size(toks).cast("double")
+    avgdl = F.greatest(F.col(f"bm25_avgdl_{fld}"), F.lit(1e-9))
+    n_docs = F.col("bm25_n").cast("double")
+
+    def eq(t: str):  # NB one-param lambda: a 2-param form becomes (elem, idx)
+        return lambda x: x == F.lit(t)
+
+    matched = dl > 0
+    score = F.lit(0.0)
+    for i, t in enumerate(q_tokens):
+        tf = F.size(F.filter(toks, eq(t))).cast("double")
+        df = F.col(f"bm25_df_{fld}_{i}").cast("double")
+        # Lucene idf: ln(1 + (N - df + 0.5)/(df + 0.5)) — always > 0
+        idf = F.log((n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+        norm = (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
+        )
+        matched = matched & (tf > 0)
+        score = score + idf * norm
+    return matched, F.when(matched, score).otherwise(0.0)
+
+
+def phrase_match(toks: Column, q_tokens: list[str]) -> tuple[Column, Column]:
+    """Token-positional phrase match: (matched, occurrence count).
+
+    The query token sequence must appear CONSECUTIVELY in the token
+    stream (``match_phrase`` semantics) — all JVM-side via higher-order
+    functions: for every viable start position, compare the m-slice
+    against the query array.
+    """
+    m = len(q_tokens)
+    n = F.size(toks)
+    qarr = F.array(*[F.lit(t) for t in q_tokens])
+    # NB sequence(1, k) with k < 1 yields a DESCENDING sequence — guard
+    starts = F.when(n >= m, F.sequence(F.lit(1), n - m + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    occ = F.size(F.filter(starts, lambda i: F.slice(toks, i, m) == qarr))
+    return occ > 0, occ
+
+
 def search(
     documents: DataFrame,
     query: str,
@@ -61,34 +152,48 @@ def search(
     title_col: str = "title",
     rank_col: str = "pagerank",
     scoring: str = "pagerank",
+    relevance: str = "bm25",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
-    q_tokens = [t for t in query.lower().split() if t]
+    # ES's analyzer tokenizes the query the same way as the fields; a
+    # phrase query is its token sequence, not a raw substring
+    q_tokens = [t for t in re.split(r"[^\w]+", query.lower()) if t]
     if mode == "phrase":
-        q = query.lower()
-        text_lc = F.lower(F.col(text_col))
-        matched = text_lc.contains(q)
-        occurrences = (
-            (F.length(text_lc) - F.length(F.replace(text_lc, F.lit(q), F.lit(""))))
-            / F.lit(max(len(q), 1))
-        )
-        n_toks = F.size(tokens_col(text_col))
+        toks = tokens_col(text_col)
+        matched, occ = phrase_match(toks, q_tokens)
+        n_toks = F.size(toks)
         score = F.when(
-            matched & (n_toks > 0), occurrences / n_toks
+            matched & (n_toks > 0), occ.cast("double") / n_toks
         ).otherwise(0.0)
+    elif relevance == "bm25":
+        fields = [text_col] + ([title_col] if title_col in documents.columns else [])
+        if stats is None:
+            stats = corpus_stats(documents, q_tokens, fields)
+        documents = documents.crossJoin(F.broadcast(stats))
+        text_ok, text_s = _field_bm25(tokens_col(text_col), q_tokens, text_col)
+        if title_col in documents.columns:
+            title_ok, title_s = _field_bm25(tokens_col(title_col), q_tokens, title_col)
+        else:
+            title_ok, title_s = F.lit(False), F.lit(0.0)
+        # best_fields: candidate if either field holds every token; the
+        # better-matching field's score is the relevance
+        matched = text_ok | title_ok
+        score = F.greatest(text_s, title_s)
     else:
         text_ok, text_tf = _field_tf(tokens_col(text_col), q_tokens)
         if title_col in documents.columns:
             title_ok, title_tf = _field_tf(tokens_col(title_col), q_tokens)
         else:
             title_ok, title_tf = F.lit(False), F.lit(0.0)
-        # best_fields: candidate if either field holds every token; the
-        # better-matching field's tf is the relevance
         matched = text_ok | title_ok
         score = F.greatest(
             F.when(text_ok, text_tf).otherwise(0.0),
             F.when(title_ok, title_tf).otherwise(0.0),
         )
     scored = documents.where(matched).withColumn("score", score)
+    scored = scored.drop(
+        *[c for c in scored.columns if c.startswith("bm25_")]
+    )
     if scoring == "function_score":
         # es.go:178: "_score + doc['PageRank'].value"
         final = F.col("score") + F.coalesce(F.col(rank_col), F.lit(0.0))

@@ -73,6 +73,81 @@ def _update_host(
     )
 
 
+GATE_STATE_SCHEMA = "taken LONG"
+
+GATE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),  # per-host admission index
+    ]
+)
+
+
+def politeness_gate_stream(
+    pages_stream: DataFrame,
+    default_budget: int,
+    host_budgets: dict[str, int] | None = None,
+    timeout_ms: int = 60 * 60 * 1000,
+) -> DataFrame:
+    """Streaming politeness enforcement: the per-host budget as a stateful
+    admission gate.
+
+    The batch engine's politeness (operators/frontier.politeness_select,
+    the reference's per-pass host budget) becomes ``emit rows only while
+    state.taken < budget``: each host's state holds how many URLs have
+    been admitted so far; a micro-batch admits at most the remaining
+    budget (deterministically, ordered by (warc_ts, url) within the
+    batch) and everything past it is dropped.  ``seq`` is the dense
+    per-host admission index, so downstream can verify the budget was
+    never exceeded.  State is one counter per host with a processing-time
+    timeout — bounded at 10^8 hosts.
+    """
+    import pyspark.sql.functions as F
+
+    from go_crawler_spark.functions.urlops import host_col
+
+    budgets = dict(host_budgets or {})
+
+    def _gate(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        budget = int(budgets.get(host, default_budget))
+        taken = int(state.get[0]) if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        room = max(budget - taken, 0)
+        if room and len(batch):
+            # stable within-batch order: admission is deterministic
+            batch = batch.sort_values(["warc_ts", "url"], kind="mergesort")
+            adm = batch.iloc[:room]
+            adm = adm.assign(
+                seq=pd.array(range(taken, taken + len(adm)), dtype="int64")
+            )
+            taken += len(adm)
+            out = adm[["host", "url", "warc_ts", "seq"]]
+        else:
+            out = pd.DataFrame(columns=["host", "url", "warc_ts", "seq"])
+        state.update((taken,))
+        state.setTimeoutDuration(timeout_ms)
+        yield out
+
+    prepared = pages_stream.select(
+        host_col("url").alias("host"), F.col("url"), F.col("warc_ts")
+    )
+    return prepared.groupBy("host").applyInPandasWithState(
+        _gate,
+        outputStructType=GATE_OUTPUT_SCHEMA,
+        stateStructType=GATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def host_ledger_stream(pages_stream: DataFrame) -> DataFrame:
     """pages stream -> per-host running ledger (one row per host per batch)."""
     import pyspark.sql.functions as F

@@ -281,3 +281,60 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.image_features(media, fake=False)
+
+
+def test_multimodal_vectorized_matches_scalar_reference(spark):
+    """The batched numpy kernels must reproduce the per-row definition
+    exactly (decode/resize/phash/entropy + frame sampling), including
+    variable-length and empty payloads."""
+    import pandas as pd
+
+    rows = []
+    rng = np.random.default_rng(7)
+    for i, size in enumerate([0, 5, 100, 256, 300, 256, 17, 256]):
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image" if i % 2 == 0 else "video",
+                "payload": rng.integers(0, 256, size=size, dtype=np.uint8).tobytes(),
+                "mime": "x",
+                "width": 16,
+                "height": 16,
+                "duration_ms": int(size * 13) if i % 2 else None,
+            }
+        )
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=multimodal.MEDIA_SCHEMA)
+
+    got = {r.media_id: r for r in multimodal.image_features(media).collect()}
+    assert set(got) == {0, 2, 4, 6}
+    for mid, r in got.items():
+        buf = rows[mid]["payload"]
+        arr = np.frombuffer(buf[:256].ljust(256, b"\0"), dtype=np.uint8).reshape(16, 16)
+        thumb = arr[::2, ::2]
+        bits = (thumb > np.median(thumb)).ravel()[:64]
+        w = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        want_phash = int((bits * w).sum(dtype=np.uint64).astype(np.int64))
+        if buf:
+            c = np.bincount(np.frombuffer(buf, dtype=np.uint8), minlength=256)
+            p = c[c > 0] / len(buf)
+            want_ent = float(-(p * np.log2(p)).sum())
+        else:
+            want_ent = 0.0
+        assert r.n_bytes == len(buf)
+        assert r.phash == want_phash
+        assert abs(r.byte_entropy - want_ent) < 1e-9
+        assert r.thumb == thumb.tobytes()
+
+    frames = multimodal.sample_frames(media, every_ms=400).collect()
+    want_frames = []
+    for row in rows:
+        if row["kind"] != "video":
+            continue
+        buf, dur = row["payload"], int(row["duration_ms"] or 0)
+        for j, ts in enumerate(range(0, dur, 400)):
+            lo = (j * 16) % max(len(buf) - 16, 1)
+            want_frames.append((row["media_id"], j, ts, buf[lo : lo + 16]))
+    got_frames = sorted(
+        (r.media_id, r.frame_idx, r.frame_ts_ms, bytes(r.frame)) for r in frames
+    )
+    assert got_frames == sorted(want_frames) and got_frames

@@ -98,11 +98,61 @@ def test_search_function_score_parity(spark):
     docs = spark.createDataFrame(
         [
             (1, "http://a.test/", "t", "crawl crawl crawl crawl", 0.05),
-            (2, "http://b.test/", "t", "crawl " + "x " * 99, 0.3),
+            (2, "http://b.test/", "t", "crawl " + "x " * 99, 0.2),
         ],
         "url_hash long, url string, title string, text string, pagerank double",
     )
     fs = search(docs, "crawl", size=10, scoring="function_score").collect()
-    assert [r.url_hash for r in fs] == [1, 2]  # 1.0+0.05 > 0.01+0.3
+    # doc1's BM25 (dense, short) + 0.05 beats doc2's (single hit, long) + 0.2
+    assert [r.url_hash for r in fs] == [1, 2]
     pr = search(docs, "crawl", size=10).collect()
     assert [r.url_hash for r in pr] == [2, 1]  # pagerank ordering unchanged
+
+
+def test_search_bm25_rare_term_beats_stopword_density(spark):
+    """BM25 idf: a doc matching the RARE query token densely must outrank
+    a doc stuffed with the COMMON query token — plain tf inverts this
+    (VERDICT r2 item 5).  Query: 'spark the' over a corpus where 'the'
+    appears everywhere and 'spark' in two docs."""
+    filler = [
+        (100 + i, f"http://f{i}.test/", "t", "the quick fox and the dog " * 3, 0.0)
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        [
+            # doc1: one 'spark', many 'the' -> high tf on the stopword
+            (1, "http://a.test/", "t", "spark " + "the the the the the the", 0.0),
+            # doc2: dense on the rare term, single 'the'
+            (2, "http://b.test/", "t", "spark spark spark engine the", 0.0),
+        ]
+        + filler,
+        "url_hash long, url string, title string, text string, pagerank double",
+    )
+    from go_crawler_spark.operators.search import _field_tf
+    from go_crawler_spark.functions.textstats import tokens_col
+
+    bm = search(docs, "spark the", size=10, scoring="function_score").collect()
+    assert [r.url_hash for r in bm] == [2, 1]  # rare-term density wins
+    # and plain tf really does invert it (the bug BM25 fixes)
+    _, tf = _field_tf(tokens_col("text"), ["spark", "the"])
+    tf_scores = {r.url_hash: r.s for r in docs.select("url_hash", tf.alias("s")).collect()}
+    assert tf_scores[1] > tf_scores[2]
+
+
+def test_search_phrase_token_positional(spark):
+    """Phrase mode is a token-sequence match (match_phrase), not a
+    substring test: 'foo bar' must NOT match 'foo barbell' but must match
+    across punctuation the tokenizer strips (VERDICT r2 item 7)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.test/", "t", "say foo barbell lifts", 0.1),
+            (2, "http://b.test/", "t", "they said foo, bar! indeed", 0.1),
+            (3, "http://c.test/", "t", "foo alone and bar apart", 0.1),
+            (4, "http://d.test/", "t", "foo bar foo bar twice", 0.1),
+        ],
+        "url_hash long, url string, title string, text string, pagerank double",
+    )
+    res = search(docs, "foo bar", mode="phrase", size=10).collect()
+    assert {r.url_hash for r in res} == {2, 4}
+    scores = {r.url_hash: r.score for r in res}
+    assert scores[4] > scores[2]  # two occurrences, shorter text

@@ -45,3 +45,47 @@ def test_host_ledger_accumulates(spark, tmp_warehouse):
         .collect()
     }
     assert got == expected
+
+
+def test_streaming_politeness_gate_never_exceeds_budget(spark, tmp_warehouse):
+    """The stateful gate enforces the per-host budget ACROSS micro-batches:
+    admitted count per host == min(budget, available), seq is dense, no
+    URL admitted twice — equal to the batch politeness oracle's volume."""
+    from go_crawler_spark.streaming.stateful import politeness_gate_stream
+
+    pages_dir = os.path.join(tmp_warehouse, "pages_gate")
+    pages = fixtures.synth_pages(spark, 120, n_hosts=5, skew=0.4)
+    pages.write.mode("overwrite").parquet(pages_dir)
+
+    budget = 7
+    stream = stream_pages(spark, pages_dir, max_files_per_trigger=1)
+    gated = politeness_gate_stream(stream, default_budget=budget)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("gate_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_warehouse, "ckpt_gate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    out = spark.sql("SELECT * FROM gate_out").collect()
+    per_host_avail = {
+        r.host: r.cnt
+        for r in pages.select(
+            F.lower(F.parse_url("url", F.lit("HOST"))).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    assert set(by_host) == set(per_host_avail)
+    for host, rows in by_host.items():
+        # batch-oracle volume: min(budget, available) — never exceeded
+        assert len(rows) == min(budget, per_host_avail[host])
+        assert sorted(r.seq for r in rows) == list(range(len(rows)))  # dense
+        assert len({r.url for r in rows}) == len(rows)  # no double admission
