@@ -736,9 +736,13 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("dedup_simhash_pairs")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs.  No SQL oracle: the 64-bit signature is a
-    blake2b-based bit vote (not expressible in DuckDB); correctness is
-    pytest-covered (known cases + exact all-pairs hamming equivalence)."""
+    """SimHash near-dup pairs.  No SQL oracle: the 64-bit signature is an
+    xxhash64-based bit vote (not expressible in DuckDB); correctness is
+    verified by IMPLEMENTATION DIVERSITY instead — two independent
+    signature implementations (Arrow/numpy voting vs pure-Column
+    aggregate voting, functions/dedup.simhash_col{,_native}) must agree
+    bit-for-bit on the corpus (pytest), plus known cases + exact
+    all-pairs hamming equivalence."""
     from go_crawler_spark.functions.dedup import simhash_near_dups
 
     d = _read(spark, sf_dir, "documents")

@@ -61,7 +61,11 @@ def F_warmup():
 
 
 def bench_crawl(
-    spark, n_pages: int, iters: int = 4, steady: bool = False
+    spark,
+    n_pages: int,
+    iters: int = 4,
+    steady: bool = False,
+    politeness_mode: str = "salted_quota",
 ) -> tuple[float, float]:
     """Returns (elapsed_sec, urls_per_sec). urls = fetched + newly deduped.
 
@@ -99,7 +103,7 @@ def bench_crawl(
             salt_buckets=16,
             # skew-free politeness: the bench corpus has a 40% mega-host;
             # a global per-host top-k would single-task it (frontier.py)
-            politeness_mode="salted_quota",
+            politeness_mode=politeness_mode,
         )
         crawler = Crawler(spark, wh, pages, cfg)
         spark.range(10_000_000).selectExpr("sum(id)").collect()

@@ -222,39 +222,71 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized Arrow UDF)
+# SimHash — TWO independent implementations over the same JVM token hashes
+# (xxhash64).  Their signature equality on any corpus is the operator's
+# oracle (implementation diversity — DuckDB cannot express xxhash64):
+#   * simhash_col        — JVM hashes + Arrow-batched numpy bit voting
+#   * simhash_col_native — pure Column (aggregate/zip_with bit voting),
+#     zero Python in the plan
 # ---------------------------------------------------------------------------
 
 
-def _token_hash64(tok: str) -> int:
-    import hashlib
-
-    return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+def token_hashes_col(toks: Column) -> Column:
+    """Per-token 64-bit hashes, JVM-side (no Python hashing anywhere)."""
+    return F.transform(toks, lambda t: F.xxhash64(t))
 
 
 @F.pandas_udf(T.LongType())
-def udf_simhash(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash of a token array column (numpy bit voting)."""
-    cache: dict[str, int] = {}
-    out = np.zeros(len(tokens), dtype=np.int64)
+def udf_simhash_votes(hashes: pd.Series) -> pd.Series:
+    """numpy bit voting over precomputed token-hash arrays."""
+    out = np.zeros(len(hashes), dtype=np.int64)
     bit_masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
+    for i, hs_l in enumerate(hashes):
+        if hs_l is None or len(hs_l) == 0:
             out[i] = 0
             continue
-        hs = np.fromiter(
-            (cache.setdefault(t, _token_hash64(t)) for t in toks),
-            dtype=np.uint64,
-            count=len(toks),
-        )
+        hs = np.asarray(hs_l, dtype=np.int64).view(np.uint64)
         votes = ((hs[:, None] & bit_masks[None, :]) != 0).sum(axis=0)
-        sig = np.where(votes * 2 >= len(toks), bit_masks, np.uint64(0)).sum(dtype=np.uint64)
+        sig = np.where(votes * 2 >= len(hs), bit_masks, np.uint64(0)).sum(dtype=np.uint64)
         out[i] = np.int64(sig)
     return pd.Series(out)
 
 
 def simhash_col(text: Column | str) -> Column:
-    return udf_simhash(tokens_col(text)).alias("simhash")
+    return udf_simhash_votes(token_hashes_col(tokens_col(text))).alias("simhash")
+
+
+def simhash_col_native(text: Column | str) -> Column:
+    """Pure-Column SimHash: same xxhash64 token hashes, bit voting as one
+    ``aggregate`` pass with a 64-wide ``zip_with`` accumulator — the whole
+    signature stays inside codegen.  Must equal ``simhash_col`` bit-for-bit
+    (vote tie rule ``2*votes >= n``); the differential test holds the two
+    implementations to that."""
+    hs = token_hashes_col(tokens_col(text))
+    n = F.size(hs)
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    votes = F.aggregate(
+        hs,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1).cast("long"))
+                    for k in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    sig = None
+    for k in range(64):
+        bit_val = F.lit(-(1 << 63) if k == 63 else (1 << k)).cast("long")
+        term = F.when(F.get(votes, k) * 2 >= n, bit_val).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term  # bits disjoint: + == OR
+    return F.when(n > 0, sig).otherwise(F.lit(0).cast("long")).alias("simhash")
 
 
 def simhash_near_dups(

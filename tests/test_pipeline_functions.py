@@ -338,3 +338,29 @@ def test_multimodal_vectorized_matches_scalar_reference(spark):
         (r.media_id, r.frame_idx, r.frame_ts_ms, bytes(r.frame)) for r in frames
     )
     assert got_frames == sorted(want_frames) and got_frames
+
+
+def test_simhash_dual_implementations_agree(spark, documents):
+    """Implementation-diversity oracle for SimHash (DuckDB cannot express
+    xxhash64): the Arrow/numpy bit-vote and the pure-Column aggregate
+    bit-vote must produce identical signatures over the real corpus and
+    over edge cases (empty / null text)."""
+    both = documents.select(
+        dedup.simhash_col("text").alias("a"),
+        dedup.simhash_col_native("text").alias("b"),
+    )
+    assert both.where(F.col("a") != F.col("b")).count() == 0
+    assert both.where(F.col("a") == 0).count() == 0  # non-vacuous
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "one"), (4, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    rows = edge.select(
+        "doc_id",
+        dedup.simhash_col("text").alias("a"),
+        dedup.simhash_col_native("text").alias("b"),
+    ).collect()
+    for r in rows:
+        assert r.a == r.b, r
+    assert rows[0].a == 0 and rows[1].a == 0
