@@ -43,7 +43,8 @@ def main() -> None:
         for aqe, mode in CELLS:
             spark.conf.set("spark.sql.adaptive.enabled", str(aqe == "on").lower())
             t0 = time.time()
-            elapsed, ups = bench_crawl(spark, N_PAGES, politeness_mode=mode)
+            elapsed, ups, _ = bench_crawl(spark, N_PAGES, politeness_mode=mode)
+            spark.catalog.clearCache()  # drop the run's cached corpus
             cell = results[f"aqe={aqe},mode={mode}"]
             cell["runs"].append(round(elapsed, 2))
             cell["urls"].append(round(ups, 1))

@@ -39,8 +39,13 @@ cpus = int(sys.argv[1]); n_pages = int(sys.argv[2])
 spark = get_spark("gcs-scaling", cpus=cpus, shuffle_partitions=max(cpus, 16),
                   extra_conf={{"spark.sql.adaptive.enabled": "false"}})
 bench._ensure_corpus(spark, n_pages)  # corpus cached: not part of timing
-elapsed, ups = bench.bench_crawl(spark, n_pages, steady=True)
-print("RESULT " + json.dumps({{"cpus": cpus, "elapsed": elapsed, "urls_per_sec": ups}}))
+elapsed, ups, metrics = bench.bench_crawl(spark, n_pages, steady=True)
+phases = {{}}
+for m in metrics:
+    for k, v in m.get("phases", {{}}).items():
+        phases[k] = round(phases.get(k, 0.0) + v, 3)
+print("RESULT " + json.dumps(
+    {{"cpus": cpus, "elapsed": elapsed, "urls_per_sec": ups, "phases": phases}}))
 spark.stop()
 """
 
@@ -83,12 +88,26 @@ def main() -> None:
     r_n = best_of(n_small, n_pages, reps)
     r_4n = best_of(n_small * 4, n_pages, reps)
     eff = (r_4n["urls_per_sec"] / r_n["urls_per_sec"]) / 4.0
+    # Per-phase attribution: which phase's imperfect scaling explains the
+    # gap to 1.0 — phase efficiency (t_N / t_4N)/4 weighted by its share
+    # of the 4N wall clock.  (Phases measured inside the run; their sums
+    # can exceed wall-elapsed slightly due to concurrent sink jobs.)
+    phase_rows = {}
+    for k in sorted(set(r_n.get("phases", {})) | set(r_4n.get("phases", {}))):
+        tn, t4 = r_n["phases"].get(k, 0.0), r_4n["phases"].get(k, 0.0)
+        phase_rows[k] = {
+            "sec_N": tn,
+            "sec_4N": t4,
+            "phase_efficiency": round((tn / t4) / 4.0, 3) if t4 > 0 else None,
+            "share_4N": round(t4 / max(sum(r_4n["phases"].values()), 1e-9), 3),
+        }
     result = {
         "n_pages": n_pages,
         "localN": r_n,
         "local4N": r_4n,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
+        "phase_attribution": phase_rows,
     }
     os.makedirs(os.path.join(HERE, "bench_out"), exist_ok=True)
     with open(os.path.join(HERE, "bench_out", "scaling.json"), "w") as f:

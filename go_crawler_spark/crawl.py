@@ -87,6 +87,10 @@ class CrawlConfig:
     # CLUSTERED (bucket == Spark hash partition; zero added shuffle).
     # Fixed at table creation; a resume with a different count raises.
     state_buckets: int | None = None
+    # Snapshots retained per state table at compaction (Iceberg
+    # expire_snapshots); covers >keep_last/1 iterations of resume
+    # history (one commit per table per iteration).  None/0 disables.
+    snapshot_keep_last: int = 24
     politeness_mode: str = "exact"  # or "salted_quota" (see frontier.py)
     seed_priority: float = 1.0
     # child priority = parent_depth decay (priority-ordered frontier)
@@ -395,6 +399,15 @@ class Crawler:
                 else self.lake.current_snapshot("bloom")
             )
         self._checkpoint(iteration, snaps, {"op": "compact"})
+        # Snapshot expiry + orphan vacuum (Iceberg expire_snapshots):
+        # without it every superseded delta file is pinned forever and
+        # state storage grows without bound.  Runs AFTER the checkpoint,
+        # so the retained window always covers the resume point.
+        if self.cfg.snapshot_keep_last:
+            for t in ("frontier", "edges", "documents", "bloom"):
+                self.lake.expire_snapshots(
+                    t, keep_last=self.cfg.snapshot_keep_last
+                )
 
     # -- one iteration ---------------------------------------------------------
 
@@ -701,6 +714,18 @@ def main() -> None:
     ap.add_argument("--max-iterations", type=int, default=50)
     ap.add_argument("--host-budget", type=int, default=1_000_000)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--state-buckets", type=int, default=None,
+        help="bucket(N) count for frontier/edges/documents "
+        "(default: shuffle partition count; immutable per warehouse)",
+    )
+    ap.add_argument(
+        "--snapshot-keep-last", type=int, default=24,
+        help="snapshots retained per table at compaction (0 disables expiry)",
+    )
+    ap.add_argument(
+        "--politeness-mode", choices=["exact", "salted_quota"], default="exact"
+    )
     args = ap.parse_args()
 
     from go_crawler_spark.session import get_spark
@@ -708,7 +733,11 @@ def main() -> None:
     spark = get_spark("gcs-crawl", cpus=args.cpus)
     pages = spark.read.parquet(args.pages)
     cfg = CrawlConfig(
-        max_iterations=args.max_iterations, default_host_budget=args.host_budget
+        max_iterations=args.max_iterations,
+        default_host_budget=args.host_budget,
+        state_buckets=args.state_buckets,
+        snapshot_keep_last=args.snapshot_keep_last,
+        politeness_mode=args.politeness_mode,
     )
     crawler = Crawler(spark, args.warehouse, pages, cfg)
     metrics = crawler.run(seed_urls=args.seeds or None, resume=args.resume)

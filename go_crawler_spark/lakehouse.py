@@ -416,6 +416,67 @@ class Lakehouse:
         keep = [d for d in dirs if os.path.basename(d) not in want]
         return self._commit(spec, keep + new_dirs, "compact")
 
+    def expire_snapshots(
+        self,
+        name: str,
+        keep_last: int = 16,
+        keep_ids: tuple[str, ...] = (),
+    ) -> dict:
+        """Iceberg ``expire_snapshots`` + orphan-file vacuum.
+
+        Time-travel history is what makes MoR maintenance safe, but
+        un-expired snapshots pin every data file ever written — at a
+        10^10-row frontier the table's storage grows without bound.
+        This retains the current snapshot, the ``keep_last`` most recent
+        commits, and any ``keep_ids`` (e.g. snapshot ids referenced by a
+        resume checkpoint); everything older is dropped from the manifest
+        and data dirs referenced by NO retained snapshot are deleted.
+        Pure manifest arithmetic + local fs ops — no Spark job.
+        """
+        m = self._read_manifest(name)
+        if m["current"] is None:
+            return {"expired": [], "deleted_dirs": []}
+        order = list(m["snapshots"])  # insertion order == commit order
+        keep = set(order[-keep_last:]) | set(keep_ids) | {m["current"]}
+        expired = [s for s in order if s not in keep]
+        if not expired:
+            return {"expired": [], "deleted_dirs": []}
+        live_dirs: set[str] = set()
+        for s in keep:
+            live_dirs.update(m["snapshots"][s]["data_dirs"])
+        dead_dirs: set[str] = set()
+        for s in expired:
+            dead_dirs.update(m["snapshots"][s]["data_dirs"])
+        dead_dirs -= live_dirs
+        tdir = self._table_dir(name)
+        for d in sorted(dead_dirs):
+            shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        # prune now-empty parent chains (a data-* root may hold only
+        # _SUCCESS-style marker files once its leaf bucket dirs are gone)
+        for d in sorted(dead_dirs):
+            parent = os.path.dirname(d)
+            while parent:
+                p = os.path.join(tdir, parent)
+                if not os.path.isdir(p):
+                    break
+                entries = os.listdir(p)
+                if all(
+                    e.startswith("_") and os.path.isfile(os.path.join(p, e))
+                    for e in entries
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    break
+                parent = os.path.dirname(parent)
+        expired_set = set(expired)
+        for s in expired:
+            del m["snapshots"][s]
+        for snap in m["snapshots"].values():
+            if snap.get("parent") in expired_set:
+                snap["parent"] = None  # history truncated here
+        self._write_manifest(name, m)
+        return {"expired": expired, "deleted_dirs": sorted(dead_dirs)}
+
     def delete_where(self, spec: TableSpec, condition: F.Column) -> str:
         """Anti-delete rewrite (RemoveStaleEdges, graph/graph.go:43)."""
         return self.overwrite(spec, self.read(spec).where(~condition))

@@ -92,6 +92,119 @@ def corpus_stats(
     return documents.agg(*aggs)
 
 
+def docfreq_build(
+    documents: DataFrame, fields: tuple[str, ...] = ("text",)
+) -> tuple[DataFrame, DataFrame]:
+    """The STANDING BM25 stats dimensions for a deployment that cannot
+    rescan the corpus per query:
+
+    * ``docfreq``: (field, token, df) — document frequency per distinct
+      token per field (one exploded-distinct aggregation per field);
+    * ``field_stats``: (field, n_docs, n_field, sum_dl) — corpus size,
+      docs with the field present, and summed token length (avgdl =
+      sum_dl / n_field — Lucene averages over docs that HAVE the field).
+
+    Both are ordinary tables: store them in the lakehouse and refresh
+    incrementally with ``docfreq_update`` as documents are indexed —
+    never a per-query corpus pass.
+    """
+    spark = documents.sparkSession
+    df_parts, st_parts = [], []
+    for fld in fields:
+        toks = tokens_col(fld)
+        df_parts.append(
+            documents.select(
+                F.explode(F.array_distinct(toks)).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select(F.lit(fld).alias("field"), "token", "df")
+        )
+        st_parts.append(
+            documents.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count(F.size(toks)).alias("n_field"),
+                F.coalesce(F.sum(F.size(toks)), F.lit(0)).alias("sum_dl"),
+            ).select(F.lit(fld).alias("field"), "n_docs", "n_field", "sum_dl")
+        )
+    from functools import reduce
+
+    return (
+        reduce(DataFrame.unionByName, df_parts),
+        reduce(DataFrame.unionByName, st_parts),
+    )
+
+
+def docfreq_update(
+    docfreq: DataFrame,
+    field_stats: DataFrame,
+    new_docs: DataFrame,
+    fields: tuple[str, ...] = ("text",),
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental stats maintenance: fold newly indexed documents into
+    the standing dimensions — O(new docs) work plus a merge on the
+    (field, token) key, identical by construction to a full rebuild
+    (both df and sum_dl are additive)."""
+    nf, ns = docfreq_build(new_docs, fields)
+    merged_df = (
+        docfreq.unionByName(nf)
+        .groupBy("field", "token")
+        .agg(F.sum("df").alias("df"))
+    )
+    merged_st = (
+        field_stats.unionByName(ns)
+        .groupBy("field")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_field").alias("n_field"),
+            F.sum("sum_dl").alias("sum_dl"),
+        )
+    )
+    return merged_df, merged_st
+
+
+def stats_for_query(
+    docfreq: DataFrame,
+    field_stats: DataFrame,
+    q_tokens: list[str],
+    fields: list[str],
+) -> DataFrame:
+    """The 1-row broadcastable stats frame ``search(..., stats=)``
+    expects, built from the standing dimensions: a lookup of |q_tokens|
+    keys in the docfreq table (partition-prunable on token) — no corpus
+    scan anywhere."""
+    sel = docfreq.where(
+        F.col("field").isin(list(fields)) & F.col("token").isin(q_tokens)
+    )
+    aggs = []
+    for fld in fields:
+        for i, t in enumerate(q_tokens):
+            aggs.append(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            (F.col("field") == fld) & (F.col("token") == t),
+                            F.col("df"),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias(f"bm25_df_{fld}_{i}")
+            )
+    df_row = sel.agg(*aggs)
+    st_aggs = [F.max("n_docs").alias("bm25_n")]
+    for fld in fields:
+        st_aggs.append(
+            F.max(
+                F.when(
+                    F.col("field") == fld,
+                    F.col("sum_dl") / F.greatest(F.col("n_field"), F.lit(1)),
+                )
+            ).alias(f"bm25_avgdl_{fld}")
+        )
+    st_row = field_stats.agg(*st_aggs)
+    return df_row.crossJoin(st_row)
+
+
 def _field_bm25(
     toks: Column,
     q_tokens: list[str],

@@ -196,3 +196,69 @@ def test_bucketed_read_prunes_to_buckets(spark, tmp_warehouse):
     # pruning happens at the manifest level: the plan reads 1 dir not 8
     assert "_bucket=5" in only.inputFiles()[0]
     assert len({f.rsplit("/", 2)[1] for f in only.inputFiles()}) == 1
+
+
+def test_expire_snapshots_vacuums_unreferenced_dirs(spark, tmp_warehouse):
+    """Iceberg expire_snapshots semantics: old snapshots leave the
+    manifest, data dirs referenced only by them are deleted from disk,
+    and every retained snapshot (incl. time travel) still reads."""
+    import os
+
+    lake = Lakehouse(spark, tmp_warehouse)
+    snaps = [lake.overwrite(tables.URL_SEEN, _seen(spark, [(0, "http://h/0", T0)]))]
+    for i in range(1, 6):
+        snaps.append(
+            lake.append(tables.URL_SEEN, _seen(spark, [(i, f"http://h/{i}", T0)]))
+        )
+    tdir = lake._table_dir(tables.URL_SEEN.name)
+    dirs_before = {d for d in os.listdir(tdir) if d.startswith("data-")}
+    assert len(dirs_before) == 6
+
+    out = lake.expire_snapshots(tables.URL_SEEN.name, keep_last=2)
+    assert out["expired"] == snaps[:-2]
+    m = lake._read_manifest(tables.URL_SEEN.name)
+    assert set(m["snapshots"]) == set(snaps[-2:])
+    # the two retained snapshots share the first 4 appends' dirs: those
+    # stay; nothing the retained set references was deleted
+    assert lake.read(tables.URL_SEEN).count() == 6
+    assert lake.read(tables.URL_SEEN, snapshot_id=snaps[-2]).count() == 5
+    # expired snapshot ids are really gone
+    try:
+        lake.read(tables.URL_SEEN, snapshot_id=snaps[0])
+        raise AssertionError("expired snapshot still readable")
+    except KeyError:
+        pass
+
+
+def test_expire_snapshots_deletes_replaced_bucket_dirs(spark, tmp_warehouse):
+    """After compaction + expiry, the pre-compaction dirs of TOUCHED
+    buckets are vacuumed while shared untouched-bucket dirs survive."""
+    import os
+
+    spec = _bucketed_spec(8)
+    lake = Lakehouse(spark, tmp_warehouse)
+    lake.overwrite(spec, _seen(spark, [(i, f"http://h/{i}", T0) for i in range(32)]))
+    lake.append(spec, _seen(spark, [(9, "http://h/9b", T1)]))
+
+    def reconcile(df):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url_hash").orderBy(F.desc("retrieved_at"))
+        return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+    lake.compact_table(spec, reconcile)
+    pre = set(lake._read_manifest(spec.name)["snapshots"])
+    lake.expire_snapshots(spec.name, keep_last=1)
+    m = lake._read_manifest(spec.name)
+    assert len(m["snapshots"]) == 1 and m["current"] in pre
+    live = set(m["snapshots"][m["current"]]["data_dirs"])
+    tdir = lake._table_dir(spec.name)
+    on_disk = set()
+    for root, _, files in os.walk(tdir):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.relpath(root, tdir))
+    # every parquet left on disk is referenced by the retained snapshot
+    assert on_disk == live
+    rows = {r.url_hash: r.url for r in lake.read(spec).collect()}
+    assert rows[9] == "http://h/9b" and len(rows) == 32

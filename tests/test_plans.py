@@ -167,3 +167,32 @@ Disallow: /p/1
     fetched = {r.url for r in cr.read_documents().collect()}
     # /p/1* is disallowed as a prefix; nothing under it may be fetched
     assert fetched and not any("/p/1" in u for u in fetched)
+
+
+def test_bm25_stats_join_is_broadcast(spark):
+    """BM25's 1-row corpus-stats dimension must reach the documents scan
+    as a broadcast, never a shuffle or cartesian over the corpus."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["search_bm25_ranked"](spark, SF)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # broadcast 1-row cross join
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_phrase_and_native_simhash_plans_python_free(spark):
+    """Token-positional phrase match and the pure-Column SimHash must
+    stay JVM-side: no Python evaluation anywhere in their plans."""
+    from go_crawler_spark.functions.dedup import simhash_col_native
+    from go_crawler_spark.functions.textstats import tokens_col
+    from go_crawler_spark.operators.search import phrase_match
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    matched, occ = phrase_match(tokens_col("text"), ["hash", "join"])
+    for df in (
+        d.where(matched).select("doc_id", occ.alias("occ")),
+        d.select("doc_id", simhash_col_native("text")),
+    ):
+        p = plans.formatted_plan(df)
+        assert "Python" not in p and "ArrowEval" not in p, p[:500]

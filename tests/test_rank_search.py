@@ -156,3 +156,49 @@ def test_search_phrase_token_positional(spark):
     assert {r.url_hash for r in res} == {2, 4}
     scores = {r.url_hash: r.score for r in res}
     assert scores[4] > scores[2]  # two occurrences, shorter text
+
+
+def test_docfreq_dimensions_match_inline_stats(spark):
+    """A standing docfreq/field-stats dimension must reproduce the inline
+    corpus_stats exactly, and incremental maintenance must equal a full
+    rebuild — the no-corpus-rescan BM25 path."""
+    from go_crawler_spark.operators.search import (
+        corpus_stats,
+        docfreq_build,
+        docfreq_update,
+        stats_for_query,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a/", "alpha beta", "spark engine crawls the web fast", 0.1),
+            (2, "http://b/", "gamma", "the engine under the web is spark", 0.2),
+            (3, "http://c/", "alpha spark", "completely unrelated words here", 0.3),
+            (4, "http://d/", None, "spark spark spark", 0.0),
+        ],
+        "url_hash long, url string, title string, text string, pagerank double",
+    )
+    q = ["spark", "engine"]
+    fields = ["text", "title"]
+    inline = corpus_stats(docs, q, fields).collect()[0].asDict()
+    dfq, fst = docfreq_build(docs, tuple(fields))
+    standing = stats_for_query(dfq, fst, q, fields).collect()[0].asDict()
+    assert standing == inline
+
+    # incremental: build on first half, fold in second half == full build
+    half1, half2 = docs.where("url_hash <= 2"), docs.where("url_hash > 2")
+    d1, s1 = docfreq_build(half1, tuple(fields))
+    d2, s2 = docfreq_update(d1, s1, half2, tuple(fields))
+    dful, sful = docfreq_build(docs, tuple(fields))
+    key = lambda r: (r["field"], r.get("token", ""))
+    assert sorted(map(lambda r: r.asDict(), d2.collect()), key=key) == sorted(
+        map(lambda r: r.asDict(), dful.collect()), key=key
+    )
+    assert sorted(map(lambda r: r.asDict(), s2.collect()), key=key) == sorted(
+        map(lambda r: r.asDict(), sful.collect()), key=key
+    )
+
+    # and search() accepts the standing stats verbatim
+    a = search(docs, "spark engine", size=10, stats=stats_for_query(dfq, fst, q, fields)).collect()
+    b = search(docs, "spark engine", size=10).collect()
+    assert [(r.url_hash, r.score) for r in a] == [(r.url_hash, r.score) for r in b]
