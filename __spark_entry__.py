@@ -889,6 +889,47 @@ def search_phrase_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "knn_join_exact",
+    r"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb
+      FROM embeddings ORDER BY vec_id LIMIT 5
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[],
+                                    q.q_emb::DOUBLE[]) AS c
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id)
+             AS rank,
+           round(c, 6) AS cosine
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY q_id, rank
+    """,
+)
+def knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (top-k neighbors per query vector) — the exact
+    layer under functions/simsearch.ivf_knn_join (which equals this at
+    nprobe == C; the pruned path is differential-tested in pytest).
+    Broadcast query side + JVM cosine + per-query partial top-k."""
+    from go_crawler_spark.functions.simsearch import brute_force_topk_multi
+
+    e = _read(spark, sf_dir, "embeddings")
+    queries = (
+        e.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    res = brute_force_topk_multi(e, queries, k=5)
+    return res.select(
+        "q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("q_id", "rank")
+
+
 # -- embedding near-dup pairs: exact all-pairs cosine (verification layer) ---
 
 

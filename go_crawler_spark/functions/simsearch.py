@@ -121,6 +121,64 @@ def ivf_index(
     return df.withColumn("list_id", assign_udf(centroids)(F.col(emb_col)))
 
 
+def probe_lists_udf(centroids: np.ndarray, nprobe: int):
+    cents = centroids.astype(np.float32)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float32)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
+        idx = np.argsort(-(mat @ cents.T), axis=1)[:, :nprobe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return probes
+
+
+def ivf_knn_join(
+    indexed: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Distributed k-NN JOIN: top-k neighbors for EVERY query vector,
+    when the query set is itself too large to broadcast (embedding
+    dedup, retrieval eval — the training-pipeline workhorse).
+
+    Each query explodes to its ``nprobe`` nearest lists and equi-joins
+    the indexed side on ``list_id`` — both sides shuffle by list, so a
+    query compares against nprobe/C of the corpus instead of all of it,
+    and no pair is generated twice (an item lives in exactly one list).
+    Per-query top-k is a partial row_number window (WindowGroupLimit
+    pushes the k-cutoff map-side).  With ``nprobe == C`` the result is
+    EXACTLY the brute-force join — the differential oracle pytest holds
+    it to.  At extreme skew (a list holding most vectors) re-salt within
+    the hot list the same way frontier politeness does.
+    """
+    probed = queries.select(
+        F.col(q_id_col),
+        F.col(q_emb_col),
+        F.explode(
+            probe_lists_udf(centroids, nprobe)(F.col(q_emb_col))
+        ).alias("list_id"),
+    )
+    joined = probed.join(indexed, "list_id").select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_col(
+            F.col(emb_col).cast("array<double>"), F.col(q_emb_col).cast("array<double>")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return joined.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def ivf_topk(
     indexed: DataFrame,
     centroids: np.ndarray,

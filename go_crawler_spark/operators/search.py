@@ -247,8 +247,14 @@ def phrase_match(toks: Column, q_tokens: list[str]) -> tuple[Column, Column]:
     m = len(q_tokens)
     n = F.size(toks)
     qarr = F.array(*[F.lit(t) for t in q_tokens])
+    # cheap conjunctive guard first: a positional match implies every
+    # token is present, so non-candidate docs (the vast majority in a
+    # real corpus) never pay the O(n*m) positional scan
+    guard = F.lit(True)
+    for t in q_tokens:
+        guard = guard & F.array_contains(toks, t)
     # NB sequence(1, k) with k < 1 yields a DESCENDING sequence — guard
-    starts = F.when(n >= m, F.sequence(F.lit(1), n - m + 1)).otherwise(
+    starts = F.when(guard & (n >= m), F.sequence(F.lit(1), n - m + 1)).otherwise(
         F.array().cast("array<int>")
     )
     occ = F.size(F.filter(starts, lambda i: F.slice(toks, i, m) == qarr))

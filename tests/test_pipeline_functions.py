@@ -364,3 +364,36 @@ def test_simhash_dual_implementations_agree(spark, documents):
     for r in rows:
         assert r.a == r.b, r
     assert rows[0].a == 0 and rows[1].a == 0
+
+
+def test_ivf_knn_join_exact_at_full_probe_and_recall(spark, embeddings):
+    """The distributed k-NN join: with nprobe == C it must EQUAL the
+    brute-force join row-for-row (differential oracle); with nprobe < C
+    it keeps recall while touching only nprobe/C of the corpus."""
+    C = 8
+    cents = simsearch.train_centroids(embeddings, num_centroids=C)
+    indexed = simsearch.ivf_index(embeddings, cents).cache()
+    queries = embeddings.limit(6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    exact = simsearch.brute_force_topk_multi(embeddings, queries, k=5).collect()
+    full = simsearch.ivf_knn_join(indexed, queries, cents, k=5, nprobe=C).collect()
+    key = lambda rows: sorted((r.q_id, r.rank, r.vec_id, round(r.cosine, 9)) for r in rows)
+    assert key(full) == key(exact)
+
+    approx = simsearch.ivf_knn_join(indexed, queries, cents, k=5, nprobe=3).collect()
+    by_q_exact = {}
+    for r in exact:
+        by_q_exact.setdefault(r.q_id, set()).add(r.vec_id)
+    by_q_approx = {}
+    for r in approx:
+        by_q_approx.setdefault(r.q_id, set()).add(r.vec_id)
+    recalls = [
+        len(by_q_exact[q] & by_q_approx.get(q, set())) / len(by_q_exact[q])
+        for q in by_q_exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # probing 3/8 of the lists
+    # every query's own vector is its top hit at full probe
+    own = {r.q_id for r in full if r.rank == 1 and r.vec_id == r.q_id}
+    assert own == set(by_q_exact)
