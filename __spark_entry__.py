@@ -642,6 +642,85 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, {_shingle_sql(3)} AS s FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s)) >= {_MINHASH_THRESHOLD}
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, a FROM sym GROUP BY a
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    )
+    SELECT src AS doc_id, min(dst) AS component
+    FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+@_q("dedup_minhash_components", _COMPONENTS_ORACLE)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the LSH pair graph collapsed to connected
+    components (min-label propagation, functions/dedup.py) — dedup's
+    real output is one survivor per transitive cluster, not per pair.
+    Oracle: the brute-force pair graph's transitive closure via a
+    recursive CTE."""
+    from go_crawler_spark.functions.dedup import (
+        connected_components,
+        minhash_near_dups,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        d, jaccard_threshold=_MINHASH_THRESHOLD, shingle_k=3,
+        num_hashes=64, bands=32,
+    )
+    return (
+        connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "user_sessions",
+    r"""
+    WITH s AS (
+      SELECT user_id, event_id, value, ts,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    x AS (
+      SELECT *, (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
+      FROM s
+    )
+    SELECT user_id, session_idx, min(ts) AS first_ts, max(ts) AS last_ts,
+           count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM x GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table (6h gap):
+    lag + running-sum window arithmetic in integer epoch-microseconds
+    (functions/events.sessionize), aggregated to session stats."""
+    from go_crawler_spark.functions.events import session_stats
+
+    e = _read(spark, sf_dir, "events")
+    return session_stats(e, gap_minutes=360).orderBy("user_id", "session_idx")
+
+
 # -- text analysis: quality scoring + language ID, DuckDB-oracled ------------
 
 _STOPWORDS_EN30 = [

@@ -222,6 +222,92 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: pairs -> connected components -> survivors
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every id in ``pairs``; component = the min id
+    reachable through the pair graph (min-label propagation).
+
+    Dedup ends with "keep one doc per duplicate CLUSTER", not per pair —
+    transitively: A~B, B~C must collapse to one survivor even if A~C was
+    never emitted.  One shuffle-join per round, flat localCheckpoint
+    plans like PageRank's superstep loop; rounds = graph diameter, which
+    for near-dup clusters is tiny.  (At adversarial diameters switch to
+    alternating large-star/small-star, same join primitive.)
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_survivors_from_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Cluster-level dedup: keep the min-id member of every connected
+    near-dup component plus every unpaired document."""
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash — TWO independent implementations over the same JVM token hashes
 # (xxhash64).  Their signature equality on any corpus is the operator's
 # oracle (implementation diversity — DuckDB cannot express xxhash64):

@@ -397,3 +397,51 @@ def test_ivf_knn_join_exact_at_full_probe_and_recall(spark, embeddings):
     # every query's own vector is its top hit at full probe
     own = {r.q_id for r in full if r.rank == 1 and r.vec_id == r.q_id}
     assert own == set(by_q_exact)
+
+
+def test_connected_components_and_survivors(spark):
+    """Transitive clustering: A~B, B~C collapse to one component even
+    with no A~C pair; survivors = min id per cluster + unpaired docs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup.dedup_survivors_from_pairs(docs, pairs).collect()}
+    assert kept == {1, 10, 20, 99}
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Events exactly at the gap stay in-session; one microsecond past
+    it starts a new session; indexes are per-user."""
+    from datetime import datetime, timedelta
+
+    from go_crawler_spark.functions.events import session_stats, sessionize
+
+    t0 = datetime(2024, 1, 1)
+    gap = timedelta(minutes=30)
+    rows = [
+        (0, t0, 1, "a", 1.0, None),
+        (1, t0 + gap, 1, "a", 2.0, None),                       # == gap: same session
+        (2, t0 + gap + gap + timedelta(microseconds=1), 1, "a", 4.0, None),  # > gap: new
+        (3, t0, 2, "a", 8.0, None),                              # other user
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        r.event_id: (r.user_id, r.session_idx)
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got == {0: (1, 0), 1: (1, 0), 2: (1, 1), 3: (2, 0)}
+    st = {
+        (r.user_id, r.session_idx): (r.n_events, r.total_value)
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    assert st == {(1, 0): (2, 3.0), (1, 1): (1, 4.0), (2, 0): (1, 8.0)}
