@@ -158,7 +158,10 @@ def main() -> None:
         "dedup_exact_survivors",
         "dedup_minhash_pairs",
         "dedup_simhash_pairs",
+        "dedup_minhash_components",
         "ann_brute_force_topk",
+        "knn_join_exact",
+        "user_sessions",
         "text_quality_stats",
         "search_bm25_ranked",
         "search_phrase_ranked",

@@ -170,6 +170,19 @@ class Crawler:
         # with num_buckets == shuffle partitions every delta write is
         # already bucket-pure per task (clustered: no extra exchange).
         nb = self.cfg.state_buckets or self.shuffle_partitions
+        # Resume robustness: the bucket count is a TABLE property fixed at
+        # creation.  An existing warehouse wins over the session default —
+        # a resume under a different shuffle-partition setting adopts the
+        # stored count (merely un-clustering the delta writes) instead of
+        # failing; only an EXPLICIT conflicting state_buckets raises.
+        existing = self.lake._read_manifest("frontier").get("num_buckets")
+        if existing is not None and existing != nb:
+            if self.cfg.state_buckets is not None:
+                raise ValueError(
+                    f"warehouse has state_buckets={existing}, config says "
+                    f"{self.cfg.state_buckets} — bucket count is immutable"
+                )
+            nb = existing
         self._clustered = nb == self.shuffle_partitions
         self.t_frontier = tables.FRONTIER.with_buckets("url_hash", nb)
         self.t_edges = tables.EDGES.with_buckets("src_hash", nb)

@@ -256,3 +256,25 @@ def test_compaction_reuses_untouched_bucket_files(spark, tmp_warehouse, synth):
     }
     assert post_frontier == pre_frontier
     assert {(r.src_hash, r.dst_hash) for r in c2.read_edges().collect()} == pre_edges
+
+
+def test_resume_adopts_existing_bucket_count(spark, tmp_warehouse, synth):
+    """A resume under a different shuffle-partition setting must adopt
+    the warehouse's stored bucket count (table property), not fail or
+    mis-prune; an explicitly conflicting state_buckets raises."""
+    import pytest
+
+    pages_df, _, seeds = synth
+    cfg = CrawlConfig(max_iterations=2, bloom_buckets=8, state_buckets=16)
+    c1 = Crawler(spark, tmp_warehouse, pages_df, cfg)
+    c1.run(seed_urls=seeds)
+    before = {r.url_hash for r in c1.read_frontier().collect()}
+
+    # same warehouse, bucket count left to the session default (32 != 16)
+    c2 = Crawler(spark, tmp_warehouse, pages_df, CrawlConfig(max_iterations=3, bloom_buckets=8))
+    assert c2.t_frontier.num_buckets == 16  # adopted, not session default
+    c2.run(resume=True)
+    assert {r.url_hash for r in c2.read_frontier().collect()} >= before
+
+    with pytest.raises(ValueError, match="immutable"):
+        Crawler(spark, tmp_warehouse, pages_df, CrawlConfig(state_buckets=8))
