@@ -457,6 +457,58 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_value_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type: Spark
+    ``percentile`` == DuckDB ``quantile_cont`` (both sort-and-
+    interpolate, so the values hash-match at 6 decimals)."""
+    e = _read(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p50"),
+            F.round(F.col("p")[1], 6).alias("p90"),
+            F.round(F.col("p")[2], 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "vocab_top_tokens",
+    r"""
+    WITH tk AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS cnt
+    FROM tk GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters (tokenizer-training prep):
+    explode-tokens → count → top-k.  Map-side partial aggregation keeps
+    the shuffle at |vocab| rows, not |tokens| — the plan a 100 TB BPE
+    pre-pass needs."""
+    from go_crawler_spark.functions.textstats import vocab_counts
+
+    d = _read(spark, sf_dir, "documents")
+    return vocab_counts(d).orderBy(F.desc("cnt"), "token").limit(50)
+
+
 # -- crawl: the flagship, golden-oracled ------------------------------------
 
 # The golden-web crawl is fully deterministic: the expected output is a
@@ -636,6 +688,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingle_k=3,
             num_hashes=64,
             bands=32,
+            spread_partitions=spark.sparkContext.defaultParallelism,
         )
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
@@ -681,6 +734,7 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_dups(
         d, jaccard_threshold=_MINHASH_THRESHOLD, shingle_k=3,
         num_hashes=64, bands=32,
+        spread_partitions=spark.sparkContext.defaultParallelism,
     )
     return (
         connected_components(pairs)
@@ -825,7 +879,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_crawler_spark.functions.dedup import simhash_near_dups
 
     d = _read(spark, sf_dir, "documents")
-    return simhash_near_dups(d, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_near_dups(
+        d, max_hamming=3,
+        spread_partitions=spark.sparkContext.defaultParallelism,
+    ).orderBy("id_a", "id_b")
 
 
 @_q("doc_fingerprints")

@@ -143,7 +143,12 @@ def main() -> None:
     # (The pinned 4->16 scaling pair keeps AQE off per the 4M-page A/B:
     # AQE caps wide-run parallelism in that regime — per-regime configs.)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    crawl_runs = [bench_crawl(spark, n_pages)[:2] for _ in range(3)]
+    crawl_runs = []
+    for _ in range(3):
+        crawl_runs.append(bench_crawl(spark, n_pages)[:2])
+        # drop the run's persisted corpus + checkpoint blocks so later
+        # runs aren't skewed by stale cached copies pinning memory
+        spark.catalog.clearCache()
     crawl_elapsed, urls_per_sec = max(crawl_runs, key=lambda r: r[1])
     qtimes["crawl_full"] = round(crawl_elapsed, 3)
 

@@ -266,11 +266,23 @@ class Crawler:
         """
         if seed_df is not None:
             # JVM-side canonicalization mirroring canonicalize_url (X8):
-            # trim + fragment strip, http(s) only.  Without the fragment
-            # strip a seed like http://a/p#x would get a url_hash that
-            # never merges with the canonical http://a/p discovered later
-            # (duplicate frontier rows, double fetch).
+            # trim + fragment strip + scheme lowercasing, http(s) only.
+            # Without the fragment strip a seed like http://a/p#x would
+            # get a url_hash that never merges with the canonical
+            # http://a/p discovered later (duplicate frontier rows,
+            # double fetch); without the scheme lowercase an
+            # 'HTTP://...' seed would be silently dropped by the
+            # case-sensitive prefix filter while the seed_urls path
+            # (urlsplit lowercases the scheme) accepts it.
             url = F.regexp_replace(F.trim(F.col("url")), r"#.*$", "")
+            scheme_end = F.instr(url, "://")
+            url = F.when(
+                scheme_end > 0,
+                F.concat(
+                    F.lower(F.substring(url, 1, scheme_end - 1)),
+                    F.substr(url, scheme_end),
+                ),
+            ).otherwise(url)
             base = (
                 seed_df.select(url.alias("url"))
                 .where(

@@ -151,22 +151,24 @@ def minhash_near_dups(
     bands: int | None = None,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
+    spread_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified with exact shingle Jaccard.
 
     ``bands=None`` auto-selects the banding from the threshold via
     ``choose_bands`` (recall >= 99.9% at the threshold, certain above).
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    ``spread_partitions``: repartition the input to this count before the
+    heavy signature stage.  Callers with a SMALL corpus (one parquet
+    split would hash on a single core) pass the cluster parallelism; the
+    default None trusts the input layout — a well-partitioned 100 TB
+    scan must never be down-partitioned or re-shuffled here.
     """
     if bands is None:
         bands = choose_bands(num_hashes, jaccard_threshold)
-    # Spread the signature computation: a small corpus often arrives as
-    # one parquet split, which would run the 64-permutation hashing on a
-    # single core.  The shuffle moves raw text once (cheap); the heavy
-    # column work then uses the whole cluster.  Unconditional: probing
-    # df.rdd.getNumPartitions() would force an RDD conversion of the
-    # analyzed plan on the driver just to maybe skip a cheap exchange.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    if spread_partitions:
+        df = df.repartition(spread_partitions, id_col)
     # Shingle-hash once per document; signature + shingle set derive from it.
     prepared = df.select(
         F.col(id_col).alias("id"),
@@ -233,14 +235,16 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """(id, component) for every id in ``pairs``; component = the min id
-    reachable through the pair graph (min-label propagation).
+    reachable through the pair graph (min-label propagation + pointer
+    jumping).
 
     Dedup ends with "keep one doc per duplicate CLUSTER", not per pair —
     transitively: A~B, B~C must collapse to one survivor even if A~C was
-    never emitted.  One shuffle-join per round, flat localCheckpoint
-    plans like PageRank's superstep loop; rounds = graph diameter, which
-    for near-dup clusters is tiny.  (At adversarial diameters switch to
-    alternating large-star/small-star, same join primitive.)
+    never emitted.  Each round does (1) a neighbor-min hop over the edge
+    list and (2) a pointer-jump (label <- label-of-label, path halving),
+    so rounds = O(log diameter) — a 10^6-long chain converges in ~25
+    rounds, not 10^6.  Two shuffle-joins per round over ids-only frames,
+    flat localCheckpoint plans like PageRank's superstep loop.
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -258,6 +262,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -269,12 +274,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nl").alias("nbr_label"))
         )
+        cand = labels.join(
+            nbr_min.withColumnRenamed("src", "id"), "id", "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label <- label(label) — halves remaining path
+        # length every round (labels are node ids, so the lookup is a
+        # self-join on the same frame)
+        parent = cand.select(
+            F.col("id").alias("label"), F.col("label").alias("_pl")
+        )
         new_labels = (
-            labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
+            cand.join(parent, "label", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -287,7 +306,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Silent non-convergence would mean WRONG components (a long
+        # chain split into several "clusters") — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pair-graph diameter too large) — raise max_iter or switch "
+            "to large-star/small-star"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -380,6 +408,7 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    spread_partitions: int | None = None,
 ) -> DataFrame:
     """Pairs within hamming distance ``max_hamming`` of 64-bit SimHash.
 
@@ -393,8 +422,8 @@ def simhash_near_dups(
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
-    # spread the SimHash work (unconditional: see minhash_near_dups)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    if spread_partitions:  # see minhash_near_dups: small-input opt-in only
+        df = df.repartition(spread_partitions, id_col)
     n_pieces = max_hamming + 1
     base, rem = divmod(64, n_pieces)
     piece_specs = []  # (shift, width)

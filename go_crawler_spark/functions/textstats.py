@@ -168,6 +168,20 @@ def fingerprint_col(text: Column | str, k: int = 5, toks: Column | None = None) 
     return F.array_min(F.transform(sh, lambda s: F.xxhash64(s))).alias("fingerprint")
 
 
+def vocab_counts(
+    df: DataFrame, text_col: str = "text", toks: Column | None = None
+) -> DataFrame:
+    """(token, cnt) corpus vocabulary counts — the heavy-hitters pass a
+    tokenizer-training pipeline runs first.  explode → groupBy benefits
+    from map-side partial aggregation: the shuffle carries one partial
+    count per (task, distinct token), not one row per token occurrence."""
+    return (
+        df.select(F.explode(_toks_or(text_col, toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all stats columns to a documents DataFrame.
 

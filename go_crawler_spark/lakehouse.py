@@ -66,6 +66,13 @@ class TableSpec:
         return TableSpec(self.name, self.schema, list(self.partition_by), hash_col, n)
 
 
+# Version stamp of the bucket transform written into every bucketed
+# manifest; bump whenever bucket_col's row->bucket mapping changes so a
+# warehouse written under an older mapping fails loudly instead of
+# silently merging/compacting against the wrong bucket dirs.
+BUCKET_TRANSFORM = "pmod_murmur3_v2"
+
+
 def bucket_col(hash_col: str, num_buckets: int) -> F.Column:
     """Iceberg-style bucket transform: pmod(murmur3(col), N).
 
@@ -113,14 +120,25 @@ class Lakehouse:
     @staticmethod
     def _check_buckets(spec: TableSpec, manifest: dict) -> None:
         """The bucket layout is a table property fixed at creation: bucket
-        ids baked into existing dir names were computed with THAT count,
-        so mixing counts would silently mis-prune merges/compactions."""
+        ids baked into existing dir names were computed with THAT count
+        and THAT transform, so mixing either would silently mis-prune
+        merges/compactions (rows looked up in the wrong bucket dir)."""
+        if manifest["current"] is None:
+            return
         have = manifest.get("num_buckets")
-        if manifest["current"] is not None and have not in (None, spec.num_buckets):
+        if have not in (None, spec.num_buckets):
             raise ValueError(
                 f"{spec.name}: table has num_buckets={have}, "
                 f"spec says {spec.num_buckets} — bucket count is immutable"
             )
+        if spec.bucketed:
+            transform = manifest.get("bucket_transform")
+            if transform != BUCKET_TRANSFORM and have is not None:
+                raise ValueError(
+                    f"{spec.name}: table was bucketed with transform "
+                    f"{transform!r}, this engine writes {BUCKET_TRANSFORM!r}"
+                    " — rewrite the table (overwrite) before bucketed ops"
+                )
 
     def current_snapshot(self, name: str) -> str | None:
         return self._read_manifest(name)["current"]
@@ -206,6 +224,8 @@ class Lakehouse:
         m = self._read_manifest(spec.name)
         self._check_buckets(spec, m)
         m["num_buckets"] = spec.num_buckets
+        if spec.bucketed:
+            m["bucket_transform"] = BUCKET_TRANSFORM
         snap_id = f"snap-{len(m['snapshots']):06d}-{uuid.uuid4().hex[:8]}"
         m["snapshots"][snap_id] = {
             "data_dirs": data_dirs,

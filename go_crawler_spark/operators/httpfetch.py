@@ -42,20 +42,52 @@ async def _get_one(
     resolve: Callable[[str, int], tuple[str, int]] | None,
     timeout: float,
     max_redirects: int = 5,
+    url_allowed: Callable[[str], bool] | None = None,
 ) -> tuple[int, str, bytes]:
     """One GET, following up to ``max_redirects`` 3xx hops (the reference
     uses Go net/http's default client, which follows redirects — a site
     whose root 301s to www/ or a trailing slash must not crawl as a
-    permanent failure)."""
+    permanent failure).
+
+    Every redirect TARGET is re-checked: non-http(s) schemes always
+    abort, and ``url_allowed`` (the privnet/SSRF guard — the frontier's
+    filters only ever saw the original URL, so an attacker-controlled
+    Location header is the one way a private address could reach the
+    socket layer) aborts the fetch, dropping the row as a failed attempt.
+    """
     for _ in range(max_redirects + 1):
         status, ctype, body, location = await _get_raw(url, resolve, timeout)
         if status in (301, 302, 303, 307, 308) and location:
             from urllib.parse import urljoin
 
             url = urljoin(url, location)  # re-resolve against request URL
+            if urlsplit(url).scheme not in ("http", "https"):
+                raise ValueError(f"redirect to non-http scheme: {url}")
+            if url_allowed is not None and not url_allowed(url):
+                raise ValueError(f"redirect target blocked by guard: {url}")
             continue
         return status, ctype, body
     return status, ctype, body  # redirect budget exhausted: surface last 3xx
+
+
+def privnet_url_guard(
+    dns: dict[str, str] | None = None,
+    resolver: Callable[[str], str | None] | None = None,
+    unresolved_private: bool = True,
+) -> Callable[[str], bool]:
+    """Build a ``url_allowed`` guard from the engine's privnet detector
+    (urlops.is_private_host).  Defaults FAIL CLOSED on unresolvable
+    hosts — the right posture for redirect targets, which are
+    attacker-controlled."""
+    from go_crawler_spark.functions.urlops import is_private_host
+
+    def allowed(url: str) -> bool:
+        host = urlsplit(url).hostname or ""
+        return bool(host) and not is_private_host(
+            host, dns=dns, unresolved_private=unresolved_private, resolver=resolver
+        )
+
+    return allowed
 
 
 async def _get_raw(
@@ -145,6 +177,7 @@ async def _fetch_batch(
     timeout: float,
     per_host: int,
     max_concurrency: int,
+    url_allowed: Callable[[str], bool] | None = None,
 ) -> list[tuple[int, str, bytes] | None]:
     pool = asyncio.Semaphore(max_concurrency)
     host_sems: dict[str, asyncio.Semaphore] = {}
@@ -154,7 +187,7 @@ async def _fetch_batch(
         sem = host_sems.setdefault(host, asyncio.Semaphore(per_host))
         async with pool, sem:
             try:
-                return await _get_one(u, resolve, timeout)
+                return await _get_one(u, resolve, timeout, url_allowed=url_allowed)
             except Exception:
                 return None  # dropped: caller marks the attempt as failed
 
@@ -166,6 +199,7 @@ def http_fetch_fn(
     timeout_sec: float = 5.0,
     per_host: int = 2,
     max_concurrency: int = 64,
+    url_allowed: Callable[[str], bool] | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Build a fetch stage: selected frontier slice -> fetched rows.
 
@@ -191,7 +225,10 @@ def http_fetch_fn(
                     continue
                 urls = pdf["url"].tolist()
                 res = asyncio.run(
-                    _fetch_batch(urls, resolve, timeout_sec, per_host, max_concurrency)
+                    _fetch_batch(
+                        urls, resolve, timeout_sec, per_host,
+                        max_concurrency, url_allowed,
+                    )
                 )
                 ok = [i for i, r in enumerate(res) if r is not None]
                 if not ok:

@@ -275,8 +275,10 @@ def search(
     stats: DataFrame | None = None,
 ) -> DataFrame:
     # ES's analyzer tokenizes the query the same way as the fields; a
-    # phrase query is its token sequence, not a raw substring
-    q_tokens = [t for t in re.split(r"[^\w]+", query.lower()) if t]
+    # phrase query is its token sequence, not a raw substring.  Split on
+    # [\W_]+ — exactly the complement of tokens_col's [\p{L}\p{N}] token
+    # chars (NB \w alone would keep '_' and make such tokens unmatchable)
+    q_tokens = [t for t in re.split(r"[\W_]+", query.lower()) if t]
     if mode == "phrase":
         toks = tokens_col(text_col)
         matched, occ = phrase_match(toks, q_tokens)
@@ -288,9 +290,21 @@ def search(
         fields = [text_col] + ([title_col] if title_col in documents.columns else [])
         if stats is None:
             stats = corpus_stats(documents, q_tokens, fields)
+        else:
+            # caller-provided (standing) stats may cover fewer fields
+            # than the schema offers — score only what the stats carry
+            fields = [f for f in fields if f"bm25_avgdl_{f}" in stats.columns]
+            if not fields:
+                raise ValueError(
+                    "stats= frame carries no bm25_avgdl_<field> column "
+                    f"for any of the searchable fields"
+                )
         documents = documents.crossJoin(F.broadcast(stats))
-        text_ok, text_s = _field_bm25(tokens_col(text_col), q_tokens, text_col)
-        if title_col in documents.columns:
+        if text_col in fields:
+            text_ok, text_s = _field_bm25(tokens_col(text_col), q_tokens, text_col)
+        else:
+            text_ok, text_s = F.lit(False), F.lit(0.0)
+        if title_col in fields:
             title_ok, title_s = _field_bm25(tokens_col(title_col), q_tokens, title_col)
         else:
             title_ok, title_s = F.lit(False), F.lit(0.0)

@@ -167,3 +167,32 @@ def test_https_defaults_to_port_443():
 
     asyncio.run(run())
     assert seen_ports == [443]
+
+
+def test_redirect_to_private_target_blocked(spark, golden_server):
+    """SSRF guard: a 3xx Location pointing at a private address (or a
+    non-http scheme) must abort the fetch — the frontier's privnet
+    filter never saw the redirect target, so the fetcher re-checks it."""
+    port = golden_server
+    ROUTES[("srv1.test", "/to-private")] = (302, "http://10.0.0.1/admin", None)
+    ROUTES[("srv1.test", "/to-file")] = (302, "file:///etc/passwd", None)
+    try:
+        def resolve(host, p):
+            return ("127.0.0.1", port)
+
+        from go_crawler_spark.operators.httpfetch import privnet_url_guard
+
+        df = spark.createDataFrame(
+            [("http://srv1.test/to-private",), ("http://srv1.test/to-file",),
+             ("http://srv1.test/old",)],
+            "url string",
+        ).coalesce(1)
+        guard = privnet_url_guard(unresolved_private=False)  # named hosts ok
+        out = http_fetch_fn(
+            resolve=resolve, timeout_sec=10.0, url_allowed=guard
+        )(df).collect()
+        # private-IP and file: redirects dropped; the benign chain survives
+        assert [r.url for r in out] == ["http://srv1.test/old"]
+    finally:
+        del ROUTES[("srv1.test", "/to-private")]
+        del ROUTES[("srv1.test", "/to-file")]

@@ -262,3 +262,24 @@ def test_expire_snapshots_deletes_replaced_bucket_dirs(spark, tmp_warehouse):
     assert on_disk == live
     rows = {r.url_hash: r.url for r in lake.read(spec).collect()}
     assert rows[9] == "http://h/9b" and len(rows) == 32
+
+
+def test_legacy_bucket_transform_rejected(spark, tmp_warehouse):
+    """A bucketed manifest written under a different (or unstamped)
+    bucket transform must be rejected, not silently merged against the
+    wrong bucket dirs (review r3 finding)."""
+    import json
+
+    import pytest
+
+    spec = _bucketed_spec(8)
+    lake = Lakehouse(spark, tmp_warehouse)
+    lake.overwrite(spec, _seen(spark, [(i, f"http://h/{i}", T0) for i in range(8)]))
+    p = lake._manifest_path(spec.name)
+    m = json.load(open(p))
+    del m["bucket_transform"]  # simulate a pre-v2 warehouse
+    json.dump(m, open(p, "w"))
+    with pytest.raises(ValueError, match="transform"):
+        lake.append(spec, _seen(spark, [(9, "http://h/9", T1)]))
+    with pytest.raises(ValueError, match="transform"):
+        lake.read(spec, buckets=[1])

@@ -445,3 +445,16 @@ def test_sessionize_gap_boundaries(spark):
         for r in session_stats(ev, gap_minutes=30).collect()
     }
     assert st == {(1, 0): (2, 3.0), (1, 1): (1, 4.0), (2, 0): (1, 8.0)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter rounds must fail loudly, never
+    return silently-wrong split clusters (review r3 finding)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30, 0, -1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=1)
+    # with enough rounds the same chain converges to one cluster
+    comp = {r.id: r.component for r in dedup.connected_components(chain).collect()}
+    assert set(comp.values()) == {1}

@@ -196,3 +196,22 @@ def test_phrase_and_native_simhash_plans_python_free(spark):
     ):
         p = plans.formatted_plan(df)
         assert "Python" not in p and "ArrowEval" not in p, p[:500]
+
+
+def test_seed_df_uppercase_scheme_survives(spark, tmp_warehouse):
+    """Bulk seed_df canonicalization lowercases the scheme so
+    'HTTP://...' seeds merge with the urlsplit-lowercased seed_urls
+    path instead of being silently dropped (review r3 finding)."""
+    from go_crawler_spark.crawl import Crawler, CrawlConfig
+    from go_crawler_spark import fixtures
+
+    pages = fixtures.synth_pages(spark, 20, n_hosts=2, skew=0.3)
+    c = Crawler(spark, tmp_warehouse, pages, CrawlConfig(max_iterations=1, bloom_buckets=4))
+    seeds = spark.createDataFrame(
+        [("HTTP://host0.test/p/0#frag",), ("https://host1.test/p/1",),
+         ("ftp://nope.test/x",)],
+        "url string",
+    )
+    c.seed(seed_df=seeds)
+    got = {r.url for r in c.read_frontier().collect()}
+    assert got == {"http://host0.test/p/0", "https://host1.test/p/1"}

@@ -202,3 +202,19 @@ def test_docfreq_dimensions_match_inline_stats(spark):
     a = search(docs, "spark engine", size=10, stats=stats_for_query(dfq, fst, q, fields)).collect()
     b = search(docs, "spark engine", size=10).collect()
     assert [(r.url_hash, r.score) for r in a] == [(r.url_hash, r.score) for r in b]
+
+
+def test_search_query_tokenizer_matches_field_tokenizer(spark):
+    """The query must be tokenized exactly like the fields: '_' is a
+    separator in tokens_col, so a 'data_pipeline' query searches for the
+    token sequence ['data','pipeline'] instead of an unmatchable
+    underscore token (review r3 finding)."""
+    docs = spark.createDataFrame(
+        [(1, "http://a/", "t", "use the data_pipeline tool here", 0.1),
+         (2, "http://b/", "t", "nothing relevant at all", 0.1)],
+        "url_hash long, url string, title string, text string, pagerank double",
+    )
+    hits = search(docs, "data_pipeline", size=10).collect()
+    assert [r.url_hash for r in hits] == [1]
+    ph = search(docs, "data_pipeline", mode="phrase", size=10).collect()
+    assert [r.url_hash for r in ph] == [1]
