@@ -236,6 +236,10 @@ class Crawler:
                 "status": "complete",
                 "snapshots": snaps,
                 "metrics": metrics,
+                # Bloom shard layout is baked into the persisted bit
+                # arrays; recorded so a resume can refuse a mismatch
+                # (silent mis-sharding = false negatives past the Bloom)
+                "bloom_buckets": self.cfg.bloom_buckets,
                 "ts": time.time(),
             }
         )
@@ -274,7 +278,11 @@ class Crawler:
             # 'HTTP://...' seed would be silently dropped by the
             # case-sensitive prefix filter while the seed_urls path
             # (urlsplit lowercases the scheme) accepts it.
-            url = F.regexp_replace(F.trim(F.col("url")), r"#.*$", "")
+            # \s-strip, not F.trim: trim removes spaces only, so a CRLF
+            # bulk-seed file would keep \r in the URL (and its hash)
+            url = F.regexp_replace(
+                F.regexp_replace(F.col("url"), r"^\s+|\s+$", ""), r"#.*$", ""
+            )
             scheme_end = F.instr(url, "://")
             url = F.when(
                 scheme_end > 0,
@@ -452,6 +460,12 @@ class Crawler:
         due = due_filter(frontier, pass_ts, cfg.reindex_threshold_days).where(
             F.col("last_attempt").isNull() | (F.col("last_attempt") < F.lit(run_start))
         )
+        # Robots BEFORE politeness: a denied URL must not occupy a slot
+        # of its host's budget (denied rows are never attempt-marked, so
+        # post-selection filtering would let top-priority denied URLs
+        # permanently starve the host's allowed URLs).  The robots dim is
+        # a broadcast; this is one broadcast join over the due slice.
+        due = robots_filter(due, self.robots)
         selected = politeness_select(
             due,
             self.host_budgets,
@@ -472,8 +486,7 @@ class Crawler:
         # selection time: the fetch join, the failed-attempt anti-join and
         # the marks write then all run exchange-free on this slice.
         selected = (
-            robots_filter(selected, self.robots)
-            .repartition(self.shuffle_partitions, "url_hash")
+            selected.repartition(self.shuffle_partitions, "url_hash")
             .localCheckpoint(eager=False)
         )
         attempted = prefetch_filter(selected)
@@ -706,6 +719,17 @@ class Crawler:
             rp = self.resume_point()
             if rp is None:
                 raise RuntimeError("resume requested but no complete checkpoint")
+            # The persisted Bloom shard layout was built with the
+            # checkpoint's bucket count; a mismatched resume would
+            # silently mis-shard (false negatives past the Bloom, adds
+            # dropped into nonexistent shards).
+            have_bb = rp.get("bloom_buckets")
+            if have_bb is not None and have_bb != self.cfg.bloom_buckets:
+                raise ValueError(
+                    f"resume with bloom_buckets={self.cfg.bloom_buckets} but "
+                    f"checkpoint was written with {have_bb} — bloom bucket "
+                    "count is immutable per warehouse"
+                )
             self._pin_snapshots(rp)
             # one eager reconcile of the pinned snapshot seeds the hot
             # frontier cache (otherwise the first iteration would re-derive

@@ -21,10 +21,12 @@ Exact semantic parity:
 * scores sum to 1 ± epsilon at convergence.
 
 Scale notes: the per-iteration plan is one shuffle (the groupBy(dst));
-the ranks⋈edges join co-partitions on src when ``prepartition=True`` so
-iteration k+1 reuses iteration k's partitioning.  Lineage is cut with
-``localCheckpoint`` every ``checkpoint_interval`` iterations (on a real
-cluster: reliable checkpoint dir / Iceberg write per iteration).
+the ranks⋈edges join co-partitions on src so iteration k+1 reuses
+iteration k's partitioning.  Lineage is cut with a lazy
+``localCheckpoint`` EVERY superstep — flat plans keep Catalyst analysis
+O(1) per step (on a real cluster: reliable checkpoint dir / Iceberg
+write per iteration); superseded checkpoint blocks are reclaimed by the
+ContextCleaner as each superstep drops the previous frame's reference.
 
 Golden-tested against ranker/ranker_test.go:34-135 (±0.01 per vertex,
 Σ=1±0.001).
@@ -51,7 +53,6 @@ def pagerank(
     damping: float = 0.85,
     min_sad: float = 0.001,
     max_supersteps: int = 200,
-    checkpoint_interval: int = 5,
 ) -> PageRankResult:
     """vertices: (id), edges: (src, dst). Returns scores summing to ~1."""
     spark = vertices.sparkSession
@@ -74,7 +75,8 @@ def pagerank(
         return PageRankResult(v.select("id", F.lit(0.0).alias("score")), 0, 0.0)
 
     # superstep 1: evenly distribute; residual from dead-ends of this step.
-    ranks = base.select("id", "outdeg", F.lit(1.0 / n).alias("score")).persist()
+    init_ranks = base.select("id", "outdeg", F.lit(1.0 / n).alias("score")).persist()
+    ranks = init_ranks
     dead_sum = ranks.where(F.col("outdeg") == 0).agg(
         F.sum(F.col("score") / F.lit(n)).alias("r")
     ).collect()[0]["r"]
@@ -126,4 +128,6 @@ def pagerank(
     scores = ranks.select("id", "score")
     base.unpersist()
     e.unpersist()
+    if ranks is not init_ranks:  # loop ran: the init copy is superseded
+        init_ranks.unpersist()
     return PageRankResult(scores, superstep, sad)

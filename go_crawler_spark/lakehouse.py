@@ -522,8 +522,11 @@ def rows_in_dir(path: str) -> int:
         return 0
     try:
         return pads.dataset(files, format="parquet").count_rows()
-    except Exception:
-        return -1
+    except Exception as exc:
+        # Never return a sentinel: a footer we just wrote failing to read
+        # is corruption, and a -1 leaking into crawl metrics would make
+        # the drain condition (selected==0) unreachable.
+        raise RuntimeError(f"unreadable parquet footers under {path}") from exc
 
 
 def _read_schema(spec: TableSpec) -> T.StructType:

@@ -202,7 +202,10 @@ def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
     specific: list[str] | None = None
     wildcard: list[str] | None = None
     for g_agents, g_dis in groups:
-        if any(a != "*" and (a in ua or ua in a) for a in g_agents):
+        # One-directional match (RFC 9309: the group token identifies a
+        # crawler; OUR token appearing inside an unrelated bot's longer
+        # token must NOT claim that group — 'bot' vs 'badbot')
+        if any(a != "*" and a in ua for a in g_agents):
             specific = g_dis if specific is None else specific + g_dis
         if "*" in g_agents:
             wildcard = g_dis if wildcard is None else wildcard + g_dis

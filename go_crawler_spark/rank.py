@@ -61,13 +61,19 @@ def rank_and_persist(crawler: Crawler, damping: float = 0.85, min_sad: float = 0
         if crawler.lake.current_snapshot(name)
     }
     snapshots["documents"] = snap
+    # Carry the last crawl iteration number: a later resume picks THIS
+    # record (the post-rank documents snapshot) instead of rolling the
+    # documents table back past the score overwrite and silently
+    # discarding every pagerank value.
+    rp = crawler.resume_point()
     crawler._append_state(
         {
-            "iteration": None,
+            "iteration": rp["iteration"] if rp else 0,
             "status": "complete",
             "op": "rank",
             "snapshots": snapshots,
             "metrics": {"supersteps": result.supersteps, "final_sad": result.final_sad},
+            "bloom_buckets": crawler.cfg.bloom_buckets,
             "ts": __import__("time").time(),
         }
     )

@@ -278,3 +278,40 @@ def test_resume_adopts_existing_bucket_count(spark, tmp_warehouse, synth):
 
     with pytest.raises(ValueError, match="immutable"):
         Crawler(spark, tmp_warehouse, pages_df, CrawlConfig(state_buckets=8))
+
+
+def test_robots_denied_urls_do_not_consume_budget(spark, tmp_warehouse):
+    """A robots-denied high-priority URL must not occupy its host's
+    politeness slot: robots filtering runs BEFORE selection, so allowed
+    URLs on the same host still get fetched (review r3 finding)."""
+    import pyspark.sql.functions as F
+    from go_crawler_spark import fixtures
+
+    pages = fixtures.synth_pages(spark, 30, n_hosts=1, skew=0.0, out_links=0)
+    robots = spark.createDataFrame(
+        [("host0.test", ["/p/0", "/p/1"])], "host string, robots_disallow array<string>"
+    )
+    cfg = CrawlConfig(max_iterations=4, bloom_buckets=4, default_host_budget=1)
+    c = Crawler(spark, tmp_warehouse, pages, cfg, robots=robots)
+    # seeds: two denied URLs (highest priority) + one allowed
+    # NB p/2 is a deterministic 503 in the fixture; p/3 is a 200
+    c.run(seed_urls=["http://host0.test/p/0", "http://host0.test/p/1",
+                     "http://host0.test/p/3"])
+    docs = {r.url for r in c.read_documents().collect()}
+    assert "http://host0.test/p/3" in docs  # allowed URL was not starved
+    assert not {"http://host0.test/p/0", "http://host0.test/p/1"} & docs
+
+
+def test_resume_rejects_changed_bloom_buckets(spark, tmp_warehouse, synth):
+    """The persisted Bloom shard layout is bucketed; a resume with a
+    different bloom_buckets must fail loudly, not silently mis-shard."""
+    import pytest
+
+    pages_df, _, seeds = synth
+    c1 = Crawler(spark, tmp_warehouse, pages_df,
+                 CrawlConfig(max_iterations=2, bloom_buckets=8))
+    c1.run(seed_urls=seeds)
+    c2 = Crawler(spark, tmp_warehouse, pages_df,
+                 CrawlConfig(max_iterations=3, bloom_buckets=16))
+    with pytest.raises(ValueError, match="bloom"):
+        c2.run(resume=True)

@@ -218,3 +218,19 @@ def test_search_query_tokenizer_matches_field_tokenizer(spark):
     assert [r.url_hash for r in hits] == [1]
     ph = search(docs, "data_pipeline", mode="phrase", size=10).collect()
     assert [r.url_hash for r in ph] == [1]
+
+
+def test_resume_after_rank_preserves_scores(spark, tmp_path_factory):
+    """rank_and_persist's checkpoint must qualify as the resume point so
+    a later resume does not roll the documents table back past the
+    score overwrite (review r3 finding)."""
+    wh = str(tmp_path_factory.mktemp("wh_rank_resume"))
+    pages = fixtures.synth_pages(spark, 60, n_hosts=3, skew=0.3, out_links=4)
+    c = Crawler(spark, wh, pages, CrawlConfig(max_iterations=20, bloom_buckets=4))
+    c.run(seed_urls=fixtures.seed_urls(60, 3, 0.3))  # runs to drain
+    rank_and_persist(c)
+
+    c2 = Crawler(spark, wh, pages, CrawlConfig(max_iterations=21, bloom_buckets=4))
+    c2.run(resume=True)  # drained crawl: resumes and immediately re-drains
+    docs = c2.read_documents()
+    assert docs.where(F.col("pagerank").isNotNull()).count() == docs.count()
