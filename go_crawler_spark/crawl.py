@@ -51,6 +51,7 @@ import argparse
 import json
 import os
 import time
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -92,6 +93,13 @@ class CrawlConfig:
     # history (one commit per table per iteration).  None/0 disables.
     snapshot_keep_last: int = 24
     politeness_mode: str = "exact"  # or "salted_quota" (see frontier.py)
+    # F2 privnet guard wiring (operators/fetch.prefetch_filter): a real
+    # deployment passes resolver=socket.gethostbyname (+fail_closed=True)
+    # so NAMED private hosts are blocked; the no-DNS sandbox default
+    # judges IP literals only (named hosts fail open, documented).
+    privnet_dns: dict[str, str] | None = None
+    privnet_resolver: "Callable[[str], str | None] | None" = None
+    privnet_fail_closed: bool = False
     seed_priority: float = 1.0
     # child priority = parent_depth decay (priority-ordered frontier)
     priority_decay: float = 0.5
@@ -489,7 +497,12 @@ class Crawler:
             selected.repartition(self.shuffle_partitions, "url_hash")
             .localCheckpoint(eager=False)
         )
-        attempted = prefetch_filter(selected)
+        attempted = prefetch_filter(
+            selected,
+            unresolved_private=cfg.privnet_fail_closed,
+            dns=cfg.privnet_dns,
+            resolver=cfg.privnet_resolver,
+        )
 
         fetched = self.fetch_fn(attempted)
         # Explicit repartition before the extraction UDF: without it the

@@ -61,22 +61,27 @@ def _break_at_middle(seq: str) -> bool:
 
 
 def scan_sentences(content: str) -> list[str]:
-    """Split into sentences exactly like the reference's scanSentence."""
+    """Split into sentences exactly like the reference's scanSentence.
+
+    Offset-based scan (no per-sentence re-slicing of the remainder —
+    that copied O(remaining) bytes per sentence, quadratic on long
+    pages inside the summarize UDF hot path)."""
     out: list[str] = []
-    data = content
-    while data:
-        if len(data) < 3:
-            out.append(data)
+    n = len(content)
+    start = 0
+    while start < n:
+        if n - start < 3:
+            out.append(content[start:])
             break
         emitted = False
-        for i in range(len(data) - 2):
-            if _break_at_middle(data[i : i + 3]):
-                out.append(data[: i + 2])
-                data = data[i + 2 :]
+        for i in range(start, n - 2):
+            if _break_at_middle(content[i : i + 3]):
+                out.append(content[start : i + 2])
+                start = i + 2
                 emitted = True
                 break
         if not emitted:
-            out.append(data)  # atEOF: remainder is the last token
+            out.append(content[start:])  # atEOF: remainder is the last token
             break
     return out
 
@@ -85,7 +90,8 @@ def _match_ratio(sentence: str, terms: list[str]) -> float:
     words = sentence.split()
     if not words:
         return 0.0
-    matched = sum(1 for w in words if any(w.casefold() == t.casefold() for t in terms))
+    folded = {t.casefold() for t in terms}
+    matched = sum(1 for w in words if w.casefold() in folded)
     return matched / len(words)
 
 
@@ -125,7 +131,15 @@ def match_summary(content: str, search_terms: str, max_summary_len: int = 256) -
 
 
 def highlight(sentence: str, search_terms: str) -> str:
-    """Wrap case-insensitive standalone term matches in <em> tags (X7)."""
+    """Wrap case-insensitive term matches in <em> tags (X7).
+
+    Byte-parity with the reference's matchHighlighter.Highlight
+    (service/frontend/highlighter.go:35-41), QUIRKS INCLUDED: terms are
+    substring matches (not standalone words, despite the Go comment) and
+    each term re-substitutes over the previous term's output, so a later
+    term matching inside an inserted ``<em>`` tag nests markup exactly
+    like the reference does.  Do not "fix" without breaking parity.
+    """
     for token in search_terms.strip('"').split():
         sentence = re.sub(
             re.escape(token),

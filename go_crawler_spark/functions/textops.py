@@ -119,9 +119,16 @@ _SCAN_RE = re.compile(
     r"|!\[[^>]*(?:\]>|$)"
     r"|![^>]*>?"
     r"|\?[^>]*>?"
-    r"|(?P<closing>/)\s*(?P<ctag>[a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
+    # end tags tolerate attr-like junk before '>' (html.parser accepts
+    # '</div class="x">' as an end tag; requiring \s*> leaked raw markup
+    # into the text and broke skip-scope closing)
+    r"|(?P<closing>/)\s*(?P<ctag>[a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"
     r"|(?P<tag>[a-zA-Z][-.a-zA-Z0-9:_]*)"
-    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(?P<selfclose>/?)>"
+    # attrs LAZY so a trailing '/' is left for the selfclose group —
+    # greedy attrs swallowed it, misreading '<object/>' as an OPENING
+    # skip tag and silently dropping the rest of the document
+    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)(?P<selfclose>/?)>"
     r"|/[^a-zA-Z][^>]*>?"
     r")",
     re.DOTALL,

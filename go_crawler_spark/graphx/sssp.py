@@ -50,6 +50,8 @@ def sssp(
         .persist()
     )
     improved = dists.where(F.col("cost").isNotNull())
+    pinned = dists  # the handle actually persisted (unpersist on a
+    # projection like dists.drop(...) is a silent no-op — cache leak)
     superstep = 0
     while superstep < max_supersteps:
         superstep += 1
@@ -80,7 +82,8 @@ def sssp(
         else:
             new_dists = new_dists.persist()
         n_improved = new_dists.where(F.col("_improved")).count()
-        dists.unpersist()
+        pinned.unpersist()  # materialized above: the old copy is dead
+        pinned = new_dists
         dists = new_dists.drop("_improved")
         if n_improved == 0:
             break

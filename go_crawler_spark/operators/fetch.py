@@ -25,16 +25,23 @@ import pyspark.sql.types as T
 
 from go_crawler_spark.functions.urlops import is_private_host
 
-def make_privnet_udf(unresolved_private: bool = False, dns: dict[str, str] | None = None):
+def make_privnet_udf(
+    unresolved_private: bool = False,
+    dns: dict[str, str] | None = None,
+    resolver=None,
+):
     """Vectorized privnet check; memoizes per unique host within a batch.
 
     ``unresolved_private=True`` = reference fail-closed semantics
     (privnet.go:62-75: DNS resolution error drops the link).
+    ``resolver`` is the live DNS hook (socket.gethostbyname in a real
+    deployment) — without one, named hosts can only be judged by the
+    static ``dns`` map.
     """
     return F.pandas_udf(
         lambda hosts: hosts.map(
             {
-                h: is_private_host(h, dns, unresolved_private)
+                h: is_private_host(h, dns, unresolved_private, resolver=resolver)
                 for h in hosts.dropna().unique()
             }.get
         ).fillna(bool(unresolved_private)),
@@ -45,15 +52,26 @@ def make_privnet_udf(unresolved_private: bool = False, dns: dict[str, str] | Non
 udf_is_private_host = make_privnet_udf()
 
 
-def prefetch_filter(selected: DataFrame, unresolved_private: bool = False) -> DataFrame:
-    """F1 + F2 on the selected frontier slice (before the fetch join)."""
+def prefetch_filter(
+    selected: DataFrame,
+    unresolved_private: bool = False,
+    dns: dict[str, str] | None = None,
+    resolver=None,
+) -> DataFrame:
+    """F1 + F2 on the selected frontier slice (before the fetch join).
+
+    Pass ``resolver=socket.gethostbyname`` (and/or a static ``dns`` map)
+    in a real deployment so NAMED private hosts are caught too — with
+    neither, only IP-literal URLs can be judged and named hosts follow
+    ``unresolved_private`` (default fail-open for the no-DNS sandbox).
+    """
     out = selected.where(
         ~F.col("url").rlike(r"(?i)\.(?:jpg|jpeg|png|gif|ico|css|js)$")
     )
     priv = (
         udf_is_private_host
-        if not unresolved_private
-        else make_privnet_udf(unresolved_private=True)
+        if not (unresolved_private or dns or resolver)
+        else make_privnet_udf(unresolved_private, dns, resolver)
     )
     return out.where(~priv(F.col("host")))
 

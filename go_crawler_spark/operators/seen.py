@@ -106,7 +106,15 @@ def update_bloom(bloom: DataFrame, new_urls: DataFrame, num_buckets: int) -> Dat
 
     def merge(key, bloom_pdf: pd.DataFrame, adds_pdf: pd.DataFrame) -> pd.DataFrame:
         if bloom_pdf.empty:
-            return bloom_pdf
+            if adds_pdf.empty:
+                return bloom_pdf
+            # A missing shard with pending adds means the table has fewer
+            # shards than num_buckets (mis-sharded resume / partial read);
+            # dropping the adds silently would quietly degrade the filter.
+            raise ValueError(
+                f"bloom shard missing for bucket {key[0]} "
+                f"(num_buckets={num_buckets}) — bloom table is mis-sharded"
+            )
         row = bloom_pdf.iloc[0]
         if adds_pdf.empty:
             return bloom_pdf[["bucket", "m_bits", "k_hashes", "bits"]]

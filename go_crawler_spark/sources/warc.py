@@ -41,8 +41,28 @@ WARC_PAGES_SCHEMA = T.StructType(
 _CRLF = b"\r\n"
 
 
+def _resync(stream: io.BytesIO) -> bool:
+    """Scan forward to the next plausible record header ('WARC/' at a
+    line start); False when none remains.  One bad record must cost at
+    most itself, never the rest of a ~1 GB segment."""
+    pos = stream.tell()
+    rest = stream.read()
+    if rest.startswith(b"WARC/"):
+        stream.seek(pos)
+        return True
+    i = rest.find(b"\nWARC/")
+    if i < 0:
+        return False
+    stream.seek(pos + i + 1)
+    return True
+
+
 def _parse_warc_stream(buf: bytes, source_name: str) -> Iterator[dict]:
-    """Yield response records from one WARC byte stream."""
+    """Yield response records from one WARC byte stream.
+
+    Malformed records (bad framing, non-numeric Content-Length) are
+    skipped by resyncing to the next record header instead of silently
+    aborting the whole file or failing the Spark task."""
     stream = io.BytesIO(buf)
     while True:
         # skip blank lines between records
@@ -52,7 +72,9 @@ def _parse_warc_stream(buf: bytes, source_name: str) -> Iterator[dict]:
         if line.strip() == b"":
             continue
         if not line.startswith(b"WARC/"):
-            return  # malformed tail
+            if not _resync(stream):
+                return
+            continue
         headers: dict[str, str] = {}
         while True:
             h = stream.readline()
@@ -61,7 +83,12 @@ def _parse_warc_stream(buf: bytes, source_name: str) -> Iterator[dict]:
             if b":" in h:
                 k, v = h.split(b":", 1)
                 headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            if not _resync(stream):
+                return
+            continue
         block = stream.read(length)
         if headers.get("warc-type") != "response":
             continue

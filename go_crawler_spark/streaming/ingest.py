@@ -61,8 +61,15 @@ def streaming_ingest(
     checkpoint_dir: str,
     watermark: str | None = None,
     max_files_per_trigger: int = 8,
+    trigger_interval: str | None = None,
 ):
     """Continuous documents ingestion with URL dedup.
+
+    ``trigger_interval`` (e.g. ``"30 seconds"``) keeps the query RUNNING,
+    picking up files as they land — the continuous-deployment mode.  The
+    default ``None`` uses ``availableNow``: drain what exists, then stop
+    (the batch-catchup/test mode — files arriving after start are NOT
+    ingested until the next invocation).
 
     URL dedup is an ALL-TIME set (the reference's UNIQUE url constraint,
     migrations/01:3), so the default dedups with unbounded state and NO
@@ -105,12 +112,14 @@ def streaming_ingest(
             ),
         )
 
-    return (
-        extracted.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = extracted.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if trigger_interval is not None:
+        writer = writer.trigger(processingTime=trigger_interval)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def windowed_fetch_metrics(

@@ -149,3 +149,28 @@ def test_windowed_metrics_stream(spark, tmp_warehouse):
     # window open — accept either but the schema and grouping must be sane
     for r in rows:
         assert r.n_pages > 0 and r.host.startswith("host")
+
+
+def test_warc_parser_resyncs_after_malformed_record(tmp_path):
+    """One bad record (wrong Content-Length / non-numeric length) must
+    cost only itself — the parser resyncs to the next record header
+    instead of silently dropping the rest of the segment."""
+    from go_crawler_spark.sources.warc import _parse_warc_stream
+
+    def rec(url, body, length=None, ltext=None):
+        http = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        n = ltext if ltext is not None else str(length if length is not None else len(http))
+        return (f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
+                f"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: {n}\r\n"
+                "Content-Type: application/http; msgtype=response\r\n\r\n"
+                ).encode() + http + b"\r\n\r\n"
+
+    good1 = rec("http://a.test/", b"<p>one</p>")
+    bad_len = rec("http://bad.test/", b"<p>bad</p>", length=3)   # truncating frame
+    bad_num = rec("http://nan.test/", b"<p>nan</p>", ltext="abc")  # non-numeric
+    good2 = rec("http://b.test/", b"<p>two</p>")
+    got = [r["url"] for r in _parse_warc_stream(good1 + bad_len + good2 + bad_num + good2, "f")]
+    # both good trailing records recovered; the malformed ones cost themselves
+    assert got[0] == "http://a.test/"
+    assert got.count("http://b.test/") == 2

@@ -324,3 +324,22 @@ def test_fast_resolve_url_differential():
     for b in bases:
         for t in targets:
             assert resolve_url(b, t) == ref(b, t), (b, t)
+
+
+def test_fast_scanner_selfclose_and_junk_endtags():
+    """Review r3 goldens: XHTML self-closing skip tags must not swallow
+    the document; end tags with attr junk are real end tags."""
+    from go_crawler_spark.functions.textops import _strip_tags, _strip_tags_ref
+
+    cases = [
+        "<object/>Hello world",
+        "<script/>Hello world",
+        "a<iframe/>bcd",
+        'a</div class="x">b',
+        "<title>t</title foo>after",
+        "<a href=a/b>x</a>",
+        "<object>skip<param/></object>visible",
+    ]
+    for c in cases:
+        assert _strip_tags(c) == _strip_tags_ref(c), c
+    assert _strip_tags("<object/>Hello world") == "Hello world"
