@@ -809,7 +809,8 @@ _QUALITY_ORACLE = f"""
         len(tk) AS n_tokens,
         list_distinct(tk) AS dtk,
         CASE WHEN len(tk) > 0
-             THEN length(text)::DOUBLE / len(tk) ELSE 0.0 END AS mean_word_len,
+             THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE
+                  / len(tk) ELSE 0.0 END AS mean_word_len,
         CASE WHEN length(text) > 0
              THEN length(regexp_replace(text, '[^\\p{{L}}]', '', 'g'))::DOUBLE
                   / length(text) ELSE 0.0 END AS alpha_ratio,

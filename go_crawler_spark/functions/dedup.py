@@ -34,19 +34,33 @@ from go_crawler_spark.functions.textstats import shingles_col, tokens_col
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the min-id representative of every byte-identical text."""
-    h = F.xxhash64(F.col(text_col)).alias("_th")
-    w = df.select(h, F.col(id_col))
-    keep = w.groupBy("_th").agg(F.min(id_col).alias(id_col))
+    """Keep the min-id representative of every byte-identical text.
+
+    Groups on TWO independent 64-bit hashes (128 combined bits): at the
+    10^10-document design point single-64-bit collisions are expected
+    (birthday bound ~ C(n,2)/2^64) and each would silently drop a unique
+    document; 128 bits pushes that to ~2^-128 per pair while the shuffle
+    still carries only (hashes, id) — never the text."""
+    w = df.select(
+        F.xxhash64(F.col(text_col)).alias("_h1"),
+        F.xxhash64(F.col(text_col), F.lit(1)).alias("_h2"),
+        F.col(id_col),
+    )
+    keep = w.groupBy("_h1", "_h2").agg(F.min(id_col).alias(id_col))
     return df.join(keep, id_col, "left_semi")
 
 
 def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(text_hash, n_dups, min_id) for groups with >1 member."""
+    """(text_hash, n_dups, min_id) for groups with >1 member (same
+    double-hash grouping as exact_dedup; text_hash reports the first)."""
     return (
-        df.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"))
+        df.groupBy(
+            F.xxhash64(F.col(text_col)).alias("text_hash"),
+            F.xxhash64(F.col(text_col), F.lit(1)).alias("_h2"),
+        )
         .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("min_id"))
         .where(F.col("n_dups") > 1)
+        .drop("_h2")
     )
 
 
@@ -88,8 +102,23 @@ def minhash_from_hashes(hashed_shingles: Column, num_hashes: int = 64) -> Column
     ).alias("minhash_sig")
 
 
-def lsh_bands(df: DataFrame, sig_col: str = "minhash_sig", bands: int = 16) -> DataFrame:
-    """Explode a signature into (band_idx, band_hash) rows for bucketing."""
+def lsh_bands(
+    df: DataFrame,
+    sig_col: str = "minhash_sig",
+    bands: int = 16,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Explode a signature into (band_idx, band_hash) rows for bucketing.
+
+    Pass ``num_hashes`` (the signature length) to validate divisibility:
+    a non-divisor band count truncates fractional rows per slice, so
+    some signature positions would enter NO band — silently voiding the
+    recall guarantee."""
+    if num_hashes is not None and num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide the signature length {num_hashes} "
+            "(fractional band slices drop minhash positions)"
+        )
     n = bands
     rows_per_band = F.size(F.col(sig_col)) / n
     band_structs = F.transform(
@@ -169,16 +198,26 @@ def minhash_near_dups(
         bands = choose_bands(num_hashes, jaccard_threshold)
     if spread_partitions:
         df = df.repartition(spread_partitions, id_col)
-    # Shingle-hash once per document; signature + shingle set derive from it.
-    prepared = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles_col(text_col, shingle_k), lambda s: F.xxhash64(s)).alias("_sh"),
-    ).withColumn("minhash_sig", minhash_from_hashes(F.col("_sh"), num_hashes))
+    # Shingle-hash once per document; signature + shingle set derive from
+    # it.  The lazy localCheckpoint makes "once" literal: the plan is
+    # consumed by FOUR subtrees (both sides of the band self-join, both
+    # payload re-joins) which would otherwise each re-run the expensive
+    # tokenize+shingle+hash stage from the scan.
+    prepared = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                shingles_col(text_col, shingle_k), lambda s: F.xxhash64(s)
+            ).alias("_sh"),
+        )
+        .withColumn("minhash_sig", minhash_from_hashes(F.col("_sh"), num_hashes))
+        .localCheckpoint(eager=False)
+    )
     # Banding carries ONLY (id, band_idx, band_hash): the shingle arrays
     # never ride through the bands-fold explosion or the self-join shuffle
     # (they'd be shipped ``bands``x otherwise — the 100 TB killer).
     banded = lsh_bands(
-        prepared.select("id", "minhash_sig"), "minhash_sig", bands
+        prepared.select("id", "minhash_sig"), "minhash_sig", bands, num_hashes
     ).select("id", "band_idx", "band_hash")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -432,7 +471,11 @@ def simhash_near_dups(
         width = base + (1 if p < rem else 0)
         piece_specs.append((shift, width))
         shift += width
-    sig = df.select(F.col(id_col).alias("id"), simhash_col(text_col))
+    # lazy checkpoint: the signature feeds both sides of the band
+    # self-join — without it the pandas bit-vote runs twice per doc
+    sig = df.select(F.col(id_col).alias("id"), simhash_col(text_col)).localCheckpoint(
+        eager=False
+    )
     pieces = sig.select(
         "id",
         "simhash",
@@ -576,12 +619,21 @@ def embedding_near_dups(
     ``choose_hyperplane_bands`` when ``num_bands=None``).
     """
     if dim is None:
-        dim = len(df.select(emb_col).first()[0])
+        probe = df.select(emb_col).first()
+        if probe is None:  # empty input: zero pairs, not a TypeError
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = len(probe[0])
     if num_bands is None:
         num_bands = choose_hyperplane_bands(cosine_threshold, planes_per_band)
     sig = hyperplane_bands_udf(dim, num_bands, planes_per_band)
-    s = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb")).withColumn(
-        "bands", sig(F.col("emb"))
+    # lazy checkpoint: consumed by both self-join sides + the payload
+    # re-join — the hyperplane projection must run once per vector
+    s = (
+        df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+        .withColumn("bands", sig(F.col("emb")))
+        .localCheckpoint(eager=False)
     )
     banded = s.select(
         "id", F.posexplode("bands").alias("band_idx", "band_sig")

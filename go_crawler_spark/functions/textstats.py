@@ -76,10 +76,17 @@ def quality_features(text: Column | str, toks: Column | None = None) -> dict[str
     alpha_chars = F.length(F.regexp_replace(c, r"[^\p{L}]", ""))
     punct_chars = F.regexp_count(c, F.lit(r"[^\w\s]"))
     safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(0.0)  # noqa: E731
+    # mean word length over the TOKENS (summed token chars / n_tokens):
+    # dividing raw text length by token count counts whitespace/punct/
+    # markup as word length — separator-heavy text then overshoots the
+    # 12-char plausibility bound and is misclassified
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
-        "mean_word_len": safe(n_chars, n_tokens),
+        "mean_word_len": safe(tok_chars, n_tokens),
         "alpha_ratio": safe(alpha_chars, n_chars),
         "punct_ratio": safe(punct_chars, n_chars),
         "stopword_ratio": safe(stop_hits, F.least(n_tokens, F.lit(len(_EN_STOPWORDS)))),

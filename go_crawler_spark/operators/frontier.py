@@ -67,6 +67,16 @@ def politeness_select(
     order within a host for skew-freedom; the per-host budget bound and
     determinism are preserved.
     """
+    if mode not in ("exact", "salted_quota"):
+        # a typo'd mode must not silently fall back to the single-task
+        # global top-k the caller explicitly opted out of
+        raise ValueError(f"unknown politeness mode {mode!r} (exact | salted_quota)")
+    if mode == "salted_quota" and host_budgets is not None:
+        raise ValueError(
+            "salted_quota does not support per-host budget overrides — "
+            "use mode='exact', whose override path is already the "
+            "skew-safe salted two-phase top-k"
+        )
     df = due
     order = [F.col("priority").desc_nulls_last(), F.col("url_hash")]
 
@@ -194,8 +204,12 @@ def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
             in_group_body = True
             if val:
                 disallows.append(val)
-        elif key == "allow":
-            in_group_body = True  # recognized, not modeled (prefix-drop only)
+        else:
+            # ANY non-user-agent directive (Allow, Crawl-delay, Sitemap,
+            # vendor extensions) ends the group's startgroupline section
+            # (RFC 9309 §2.1) — otherwise a Crawl-delay between groups
+            # would merge the next group's agents into this one
+            in_group_body = True
     if agents:
         groups.append((agents, disallows))
 

@@ -20,13 +20,28 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """PushedFilters entries of every parquet scan in the plan."""
+    """PushedFilters entries of every parquet scan in the plan.
+
+    Paren-aware split: a filter's own rendering contains commas
+    (``GreaterThan(x,3)``, ``In(y, [2,4])``) — a naive comma split would
+    shred each filter into bogus fragments."""
     out: list[str] = []
     for line in formatted_plan(df).splitlines():
         line = line.strip()
         if line.startswith("PushedFilters:"):
             body = line.split(":", 1)[1].strip().strip("[]")
-            out.extend(p.strip() for p in body.split(",") if p.strip())
+            depth, cur = 0, []
+            for ch in body:
+                if ch == "," and depth == 0:
+                    if "".join(cur).strip():
+                        out.append("".join(cur).strip())
+                    cur = []
+                    continue
+                depth += ch in "(["
+                depth -= ch in ")]"
+                cur.append(ch)
+            if "".join(cur).strip():
+                out.append("".join(cur).strip())
     return out
 
 
@@ -51,7 +66,16 @@ def has_codegen(df: DataFrame) -> bool:
 
 
 def join_strategies(df: DataFrame) -> list[str]:
-    """Join operators appearing in the physical plan, in order."""
+    """Join operators in the physical plan, in plan order, ONE entry per
+    join.
+
+    Counts only the numbered operator headers ("(5) BroadcastHashJoin")
+    of the formatted output — the tree rendering repeats every operator,
+    so matching both double-counted joins (and joins on ':-' branches
+    inconsistently), breaking any cardinality assertion.
+    """
+    import re
+
     names = (
         "BroadcastHashJoin",
         "SortMergeJoin",
@@ -59,13 +83,14 @@ def join_strategies(df: DataFrame) -> list[str]:
         "BroadcastNestedLoopJoin",
         "CartesianProduct",
     )
-    plan = formatted_plan(df)
     found = []
-    for line in plan.splitlines():
-        for n in names:
-            if n in line and line.strip().startswith(("*", "+", "(", n)):
-                found.append(n)
-                break
+    for line in formatted_plan(df).splitlines():
+        m = re.match(r"^\(\d+\) (\w+)", line.strip())
+        if m:
+            for n in names:
+                if m.group(1) == n:
+                    found.append(n)
+                    break
     return found
 
 

@@ -27,6 +27,29 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # getOrCreate returns any pre-existing session and silently ignores
+    # every requested conf — surface that instead of letting benchmarks
+    # or callers measure a configuration they never got.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        import sys
+
+        have_master = active.conf.get("spark.master", "")
+        have_parts = active.conf.get("spark.sql.shuffle.partitions", "")
+        if have_master != f"local[{cpus}]" or have_parts != str(shuffle_partitions):
+            print(
+                f"get_spark: reusing ACTIVE session ({have_master}, "
+                f"shuffle={have_parts}); requested local[{cpus}]/"
+                f"shuffle={shuffle_partitions} NOT applied",
+                file=sys.stderr,
+            )
+        for k, v in (extra_conf or {}).items():
+            try:
+                active.conf.set(k, v)  # runtime confs still apply
+            except Exception:
+                print(f"get_spark: conf {k} not applicable to the active "
+                      "session", file=sys.stderr)
+        return active
     # Shuffle/spill files on tmpfs when available: this sandbox's VM disk
     # is slow and shared, and shuffle bandwidth must scale with cores (on
     # a real cluster every executor has its own local disks).

@@ -458,3 +458,28 @@ def test_connected_components_nonconvergence_raises(spark):
     # with enough rounds the same chain converges to one cluster
     comp = {r.id: r.component for r in dedup.connected_components(chain).collect()}
     assert set(comp.values()) == {1}
+
+
+def test_review4_guards(spark):
+    """Round-3 review batch 4: input-validation and edge-case guards."""
+    # non-divisor band count must raise, not silently drop positions
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_near_dups(df, num_hashes=64, bands=24)
+    # empty embeddings input -> zero pairs, not a TypeError
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert dedup.embedding_near_dups(empty).count() == 0
+    # unknown politeness mode must raise
+    from go_crawler_spark.operators.frontier import politeness_select
+
+    fr = spark.createDataFrame(
+        [(1, "http://h/x", "h", 1.0, 0, None, None)],
+        "url_hash long, url string, host string, priority double, "
+        "discovered_iter int, retrieved_at timestamp, last_attempt timestamp",
+    )
+    with pytest.raises(ValueError, match="unknown politeness mode"):
+        politeness_select(fr, None, 1, 4, None, mode="salted-quota")
+    # token-based mean word length: 1-char words average 1.0, not ~2.0
+    feats = textstats.quality_features(F.lit("a b a b a b"))
+    row = spark.range(1).select(feats["mean_word_len"].alias("m")).collect()[0]
+    assert row.m == 1.0

@@ -215,3 +215,34 @@ def test_seed_df_uppercase_scheme_survives(spark, tmp_warehouse):
     c.seed(seed_df=seeds)
     got = {r.url for r in c.read_frontier().collect()}
     assert got == {"http://host0.test/p/0", "https://host1.test/p/1"}
+
+
+def test_plan_helpers_count_and_split_correctly(spark):
+    """join_strategies returns ONE entry per physical join; pushed_filters
+    keeps comma-bearing filters whole (review r3 batch 4)."""
+    import __spark_entry__ as entry_mod
+
+    star = entry_mod.queries()["star_join_revenue"](spark, SF)
+    assert len(plans.join_strategies(star)) == len(
+        [l for l in plans.formatted_plan(star).splitlines()
+         if l.strip().startswith("(") and "Join" in l.split(")")[1][:30]]
+    )
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .where(F.col("l_quantity") > 30)
+        .where(F.col("l_linenumber").isin(2, 4, 6))
+        .select("l_orderkey")
+    )
+    pf = plans.pushed_filters(df)
+    assert any(p.startswith("GreaterThan(") and p.endswith(")") for p in pf), pf
+    assert all(p.count("(") == p.count(")") for p in pf), pf
+
+
+def test_robots_crawl_delay_does_not_merge_groups():
+    """Any non-user-agent directive ends a group's agent list (RFC 9309):
+    a Crawl-delay between groups must not merge their agents."""
+    from go_crawler_spark.operators.frontier import parse_robots_txt
+
+    txt = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x\n"
+    assert parse_robots_txt(txt, user_agent="a") == []       # a's group: no rules
+    assert parse_robots_txt(txt, user_agent="b") == ["/x"]   # b's group intact
