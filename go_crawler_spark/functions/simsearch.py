@@ -83,9 +83,22 @@ def train_centroids(
     sweeps: int = 5,
     seed: int = 42,
 ) -> np.ndarray:
-    """k-means on a deterministic driver sample (C x dim, L2-normalized)."""
+    """k-means on a deterministic driver sample (C x dim, L2-normalized).
+
+    The sample is the top-``sample_rows`` by a hash of the vector bytes
+    (TakeOrdered): deterministic across partition layouts and unbiased
+    w.r.t. data order — a bare ``limit()`` takes whichever partitions
+    answer first, fitting centroids to the earliest slice only."""
+    import pyspark.sql.functions as F
+
+    sample_df = (
+        df.select(F.col(emb_col).alias("_e"))
+        .withColumn("_h", F.xxhash64(F.col("_e").cast("array<string>")))
+        .orderBy("_h")
+        .limit(sample_rows)
+    )
     sample = np.stack(
-        [np.asarray(r[0], dtype=np.float32) for r in df.select(emb_col).limit(sample_rows).collect()]
+        [np.asarray(r[0], dtype=np.float32) for r in sample_df.select("_e").collect()]
     )
     sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-9)
     rng = np.random.default_rng(seed)

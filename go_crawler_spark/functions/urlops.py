@@ -267,6 +267,10 @@ def scheme_col(url: Column | str) -> Column:
 
 
 def excluded_extension_col(url: Column | str) -> Column:
-    """F1: native rlike for the non-HTML extension filter."""
+    """F1: native rlike for the non-HTML extension filter.
+
+    Built from EXCLUSION_RE.pattern — ONE source of truth, so adding an
+    extension cannot silently diverge the Python extraction path from
+    the Spark filter."""
     c = F.col(url) if isinstance(url, str) else url
-    return c.rlike(r"(?i)\.(?:jpg|jpeg|png|gif|ico|css|js)$")
+    return c.rlike("(?i)" + EXCLUSION_RE.pattern)

@@ -65,9 +65,9 @@ def prefetch_filter(
     neither, only IP-literal URLs can be judged and named hosts follow
     ``unresolved_private`` (default fail-open for the no-DNS sandbox).
     """
-    out = selected.where(
-        ~F.col("url").rlike(r"(?i)\.(?:jpg|jpeg|png|gif|ico|css|js)$")
-    )
+    from go_crawler_spark.functions.urlops import excluded_extension_col
+
+    out = selected.where(~excluded_extension_col("url"))
     priv = (
         udf_is_private_host
         if not (unresolved_private or dns or resolver)

@@ -43,6 +43,9 @@ async def _get_one(
     timeout: float,
     max_redirects: int = 5,
     url_allowed: Callable[[str], bool] | None = None,
+    sem_for: Callable[[str], "asyncio.Semaphore"] | None = None,
+    pool: "asyncio.Semaphore | None" = None,
+    max_body_bytes: int = 8 * 1024 * 1024,
 ) -> tuple[int, str, bytes]:
     """One GET, following up to ``max_redirects`` 3xx hops (the reference
     uses Go net/http's default client, which follows redirects — a site
@@ -56,7 +59,22 @@ async def _get_one(
     socket layer) aborts the fetch, dropping the row as a failed attempt.
     """
     for _ in range(max_redirects + 1):
-        status, ctype, body, location = await _get_raw(url, resolve, timeout)
+        # Politeness binds PER HOP: a redirect to another host must hold
+        # THAT host's semaphore, or 64 tasks redirected from A to B open
+        # 64 sockets to B.  Host cap acquired BEFORE the global pool slot
+        # so tasks queued on a hot host don't pin pool permits and
+        # collapse partition-wide concurrency to ~per_host.
+        host = urlsplit(url).hostname or ""
+        sem = sem_for(host) if sem_for else None
+        if sem is not None and pool is not None:
+            async with sem, pool:
+                status, ctype, body, location = await _get_raw(
+                    url, resolve, timeout, max_body_bytes
+                )
+        else:
+            status, ctype, body, location = await _get_raw(
+                url, resolve, timeout, max_body_bytes
+            )
         if status in (301, 302, 303, 307, 308) and location:
             from urllib.parse import urljoin
 
@@ -94,6 +112,7 @@ async def _get_raw(
     url: str,
     resolve: Callable[[str, int], tuple[str, int]] | None,
     timeout: float,
+    max_body_bytes: int = 8 * 1024 * 1024,
 ) -> tuple[int, str, bytes, str]:
     parts = urlsplit(url)
     is_https = parts.scheme == "https"
@@ -120,7 +139,21 @@ async def _get_raw(
         )
         writer.write(req.encode("latin1"))
         await writer.drain()
-        raw = await asyncio.wait_for(reader.read(-1), timeout)
+        # Bounded chunked read: reader.read(-1) buffers an unbounded
+        # response (a hostile multi-GB body OOMs the Python worker);
+        # truncate at the cap — the html post-filter/extractor tolerate
+        # truncated bodies the same as any partial fetch.
+        chunks: list[bytes] = []
+        budget = max_body_bytes  # headers + body; reads never exceed it
+        while budget >= 0:
+            chunk = await asyncio.wait_for(
+                reader.read(min(256 * 1024, budget + 1)), timeout
+            )
+            if not chunk:
+                break
+            chunks.append(chunk)
+            budget -= len(chunk)
+        raw = b"".join(chunks)
     finally:
         writer.close()
         try:
@@ -178,18 +211,26 @@ async def _fetch_batch(
     per_host: int,
     max_concurrency: int,
     url_allowed: Callable[[str], bool] | None = None,
+    max_body_bytes: int = 8 * 1024 * 1024,
 ) -> list[tuple[int, str, bytes] | None]:
     pool = asyncio.Semaphore(max_concurrency)
     host_sems: dict[str, asyncio.Semaphore] = {}
 
+    def sem_for(host: str) -> asyncio.Semaphore:
+        return host_sems.setdefault(host, asyncio.Semaphore(per_host))
+
     async def one(u: str):
-        host = urlsplit(u).hostname or ""
-        sem = host_sems.setdefault(host, asyncio.Semaphore(per_host))
-        async with pool, sem:
-            try:
-                return await _get_one(u, resolve, timeout, url_allowed=url_allowed)
-            except Exception:
-                return None  # dropped: caller marks the attempt as failed
+        # semaphores are acquired inside _get_one, per redirect hop, so
+        # the per-host cap follows the CURRENT hop's host and a task
+        # queued on a hot host holds no global pool permit
+        try:
+            return await _get_one(
+                u, resolve, timeout,
+                url_allowed=url_allowed, sem_for=sem_for, pool=pool,
+                max_body_bytes=max_body_bytes,
+            )
+        except Exception:
+            return None  # dropped: caller marks the attempt as failed
 
     return list(await asyncio.gather(*(one(u) for u in urls)))
 
@@ -200,13 +241,23 @@ def http_fetch_fn(
     per_host: int = 2,
     max_concurrency: int = 64,
     url_allowed: Callable[[str], bool] | None = None,
+    max_body_bytes: int = 8 * 1024 * 1024,
 ) -> Callable[[DataFrame], DataFrame]:
     """Build a fetch stage: selected frontier slice -> fetched rows.
 
     Drop-in for the synthetic join: same output contract as
     ``fetch_join`` (input cols + html/status/content_type, F3/F4
     filtered).
+
+    ``url_allowed`` guards redirect targets; the DEFAULT is the
+    IP-literal privnet guard (safe everywhere, blocks nothing the
+    sandbox's named test hosts need) — pass
+    ``privnet_url_guard(resolver=socket.gethostbyname)`` in production
+    to fail closed on named private hosts too, or an explicit
+    always-true callable to disable.
     """
+    if url_allowed is None:
+        url_allowed = privnet_url_guard(unresolved_private=False)
 
     def fetch(selected: DataFrame) -> DataFrame:
         in_fields = selected.schema.fields
@@ -227,7 +278,7 @@ def http_fetch_fn(
                 res = asyncio.run(
                     _fetch_batch(
                         urls, resolve, timeout_sec, per_host,
-                        max_concurrency, url_allowed,
+                        max_concurrency, url_allowed, max_body_bytes,
                     )
                 )
                 ok = [i for i, r in enumerate(res) if r is not None]
