@@ -743,6 +743,41 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPANS_N = 8
+_SPANS_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    w AS (SELECT doc_id, i AS pos,
+                 array_to_string(tk[i:i+{_SPANS_N - 1}], ' ') AS gram
+          FROM t, unnest(generate_series(1, len(tk)-{_SPANS_N - 1})) AS u(i)),
+    d AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+    h AS (SELECT w.doc_id, w.pos FROM w SEMI JOIN d USING (gram)),
+    m AS (SELECT doc_id, pos,
+            CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {_SPANS_N}
+                 THEN 0 ELSE 1 END AS newgrp
+          FROM h),
+    g AS (SELECT doc_id, pos,
+            sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m)
+    SELECT doc_id, min(pos) AS span_start, max(pos)+{_SPANS_N - 1} AS span_end,
+           max(pos)+{_SPANS_N - 1}-min(pos)+1 AS span_len
+    FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+@_q("duplicate_spans", _SPANS_ORACLE)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr, relationally):
+    maximal spans of {_SPANS_N}-token windows occurring >=2x corpus-wide.
+    The Spark side groups/joins on 128-bit window hashes (the 100 TB
+    shuffle shape — ids+positions only); the oracle groups on the window
+    text itself, so the hash-match also certifies collision-free hashing
+    at this sf."""
+    from go_crawler_spark.functions.dedup import duplicate_ngram_spans
+
+    d = _read(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(d, n=_SPANS_N).orderBy("doc_id", "span_start")
+
+
 @_q(
     "user_sessions",
     r"""
@@ -861,6 +896,43 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("quality_score", 6).alias("quality_score"),
         "lang_guess",
     ).orderBy("doc_id")
+
+
+_REPETITION_ORACLE = f"""
+    WITH t AS (SELECT doc_id, length(text) AS nc, {_TOKS_SQL} AS tk
+               FROM documents),
+    g2 AS (SELECT doc_id, nc, array_to_string(tk[i:i+1], ' ') AS gram
+           FROM t, unnest(generate_series(1, len(tk)-1)) AS u(i)),
+    c2 AS (SELECT doc_id, any_value(nc) AS nc, gram, count(*) AS cnt
+           FROM g2 GROUP BY doc_id, gram),
+    a2 AS (SELECT doc_id,
+                  round(max(cnt*length(gram)) / any_value(nc), 6)
+                    AS top2gram_char_frac
+           FROM c2 GROUP BY doc_id),
+    g5 AS (SELECT doc_id, nc, array_to_string(tk[i:i+4], ' ') AS gram
+           FROM t, unnest(generate_series(1, len(tk)-4)) AS u(i)),
+    c5 AS (SELECT doc_id, any_value(nc) AS nc, gram, count(*) AS cnt
+           FROM g5 GROUP BY doc_id, gram),
+    a5 AS (SELECT doc_id,
+                  round(sum(CASE WHEN cnt>=2 THEN cnt*length(gram)
+                                 ELSE 0 END) / any_value(nc), 6)
+                    AS dup5gram_char_frac
+           FROM c5 GROUP BY doc_id)
+    SELECT a2.doc_id, top2gram_char_frac, dup5gram_char_frac
+    FROM a2 JOIN a5 ON a2.doc_id = a5.doc_id ORDER BY a2.doc_id
+"""
+
+
+@_q("repetition_stats", _REPETITION_ORACLE)
+def repetition_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 A1.1): top-2-gram and
+    duplicate-5-gram character fractions per document.  The Spark side is
+    a ZERO-shuffle sorted-array run-length scan (pure Column HOFs); the
+    oracle recomputes the counts the straightforward unnest-groupBy way."""
+    from go_crawler_spark.functions.textstats import repetition_stats
+
+    d = _read(spark, sf_dir, "documents")
+    return repetition_stats(d).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -263,6 +263,91 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Exact substring dedup: duplicated n-token spans (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+    toks: Column | None = None,
+) -> DataFrame:
+    """Exact substring dedup ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022, the suffix-array ExactSubstr op,
+    re-expressed relationally): every n-token window whose text occurs
+    ``>= min_count`` times corpus-wide (within- or cross-document) marks
+    its positions as duplicated, and overlapping/adjacent marks merge
+    into maximal spans — the ranges a training pipeline would cut.
+
+    Returns ``(id_col, span_start, span_end, span_len)`` with 1-based
+    token-index spans, one row per maximal duplicated span per document.
+
+    Scale shape (the 100 TB path): the corpus-wide occurrence count
+    groups on a 128-bit double ``xxhash64`` of the window text — the
+    shuffle carries ``(h1, h2, id, pos)``, never the window text (same
+    collision budget as :func:`exact_dedup`: a single-64-bit scheme would
+    mark false spans at ~10^12 windows).  The hit-set is recovered with a
+    left-semi join against the (already aggregated, one-row-per-gram)
+    duplicate keys, so a mega-hot window — a boilerplate footer repeated
+    10^6 times — never amplifies rows.  The interval merge is one
+    ``(id)``-partitioned window over hit positions only.  Three shuffles
+    total, each on a key Catalyst can reason about; no pairwise
+    comparison and no suffix array materialization anywhere.
+    """
+    from pyspark.sql import Window
+
+    t = tokens_col(text_col) if toks is None else toks
+    base = df.select(F.col(id_col).alias("id"), t.alias("_t"))
+    nt = F.size(F.col("_t"))
+    idx = F.when(nt >= n, F.sequence(F.lit(1), nt - (n - 1)))
+    hashed = (
+        base.select("id", "_t", F.explode(idx).alias("pos"))
+        .select(
+            "id",
+            "pos",
+            F.concat_ws(" ", F.slice("_t", F.col("pos"), n)).alias("_g"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.xxhash64("_g").alias("_h1"),
+            F.xxhash64("_g", F.lit(1)).alias("_h2"),
+        )
+    )
+    dups = (
+        hashed.groupBy("_h1", "_h2")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h1", "_h2")
+    )
+    hits = hashed.join(dups, ["_h1", "_h2"], "left_semi").select("id", "pos")
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max = F.max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    # contiguous/overlapping iff pos <= prev_end + 1 = prev_max_pos + n
+    # (all windows are length n); NULL prev_max (first hit) opens a group.
+    newgrp = F.when(F.col("pos") <= prev_max + n, F.lit(0)).otherwise(F.lit(1))
+    spans = (
+        hits.withColumn("_new", newgrp)
+        .withColumn("_grp", F.sum("_new").over(w))
+        .groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+        )
+    )
+    return spans.select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering: pairs -> connected components -> survivors
 # ---------------------------------------------------------------------------
 

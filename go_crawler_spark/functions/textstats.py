@@ -175,6 +175,86 @@ def fingerprint_col(text: Column | str, k: int = 5, toks: Column | None = None) 
     return F.array_min(F.transform(sh, lambda s: F.xxhash64(s))).alias("fingerprint")
 
 
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher, Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+
+def _gram_runs(toks: Column, k: int) -> Column:
+    """Run-length encoded word k-grams of one document:
+    ``array<struct<cnt:int, glen:int>>`` — occurrence count and char
+    length (spaces included) per distinct gram.
+
+    Shape for 100 TB: sort-the-array + boundary scan, all inside one
+    whole-stage-codegen'd projection — per-document O(m log m), ZERO
+    shuffle (no groupBy on gram text), embarrassingly parallel.
+    Caller must guarantee ``size(toks) >= k``.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    s = F.array_sort(grams)
+    m = F.size(s)
+    bounds = F.filter(
+        F.sequence(F.lit(1), m),
+        lambda i: (i == F.lit(1)) | (F.element_at(s, i) != F.element_at(s, i - 1)),
+    )
+    nxt = F.concat(
+        F.slice(bounds, 2, F.greatest(F.size(bounds) - 1, F.lit(0))),
+        F.array(m + 1),
+    )
+    return F.zip_with(
+        bounds,
+        nxt,
+        lambda b, nb: F.struct(
+            (nb - b).alias("cnt"), F.length(F.element_at(s, b)).alias("glen")
+        ),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+    toks: Column | None = None,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A1.1):
+
+    * ``top{top_n}gram_char_frac`` — characters covered by the single
+      most frequent word ``top_n``-gram (count x gram char length),
+      over total document characters;
+    * ``dup{dup_n}gram_char_frac`` — characters covered by all
+      ``dup_n``-grams occurring more than once (every occurrence
+      counted), over total document characters.
+
+    Documents with fewer than ``dup_n`` tokens are dropped (no gram of
+    either size is defined for them).  Both fractions are rounded to 6
+    decimals.  Ties on the top gram cannot affect the output (the max is
+    taken over covered-chars directly).
+    """
+    t = _toks_or(text_col, toks)
+    nchars = F.length(F.col(text_col) if isinstance(text_col, str) else text_col)
+    base = df.select(
+        F.col(id_col), nchars.alias("_nc"), t.alias("_t")
+    ).where(F.size("_t") >= max(top_n, dup_n))
+    top_runs = _gram_runs(F.col("_t"), top_n)
+    dup_runs = _gram_runs(F.col("_t"), dup_n)
+    top_chars = F.array_max(F.transform(top_runs, lambda r: r["cnt"] * r["glen"]))
+    dup_chars = F.aggregate(
+        F.filter(dup_runs, lambda r: r["cnt"] >= 2),
+        F.lit(0),
+        lambda acc, r: acc + r["cnt"] * r["glen"],
+    )
+    return base.select(
+        id_col,
+        F.round(top_chars / F.col("_nc"), 6).alias(f"top{top_n}gram_char_frac"),
+        F.round(dup_chars / F.col("_nc"), 6).alias(f"dup{dup_n}gram_char_frac"),
+    )
+
+
 def vocab_counts(
     df: DataFrame, text_col: str = "text", toks: Column | None = None
 ) -> DataFrame:

@@ -483,3 +483,66 @@ def test_review4_guards(spark):
     feats = textstats.quality_features(F.lit("a b a b a b"))
     row = spark.range(1).select(feats["mean_word_len"].alias("m")).collect()[0]
     assert row.m == 1.0
+
+
+def test_duplicate_ngram_spans_known_case(spark):
+    """Hand-computed Lee-et-al exact-substring spans: cross-doc shares,
+    within-doc repeats, gap-split spans, and too-short docs."""
+    rows = [
+        ("A", "a b c d e f g"),            # shares "a b c d" prefix with B
+        ("B", "x a b c d y z"),
+        ("C", "p q r p q r p q"),          # within-doc repetition only
+        ("D", "u v w"),                    # no duplicated window
+        ("E", "u v"),                      # shorter than n: no windows
+        ("F", "a b c z1 z2 z3 z4 a b c"),  # two disjoint spans
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in dedup.duplicate_ngram_spans(df, n=3).collect()
+    )
+    assert got == [
+        ("A", 1, 4, 4),
+        ("B", 2, 5, 4),
+        ("C", 1, 8, 8),
+        ("F", 1, 3, 3),
+        ("F", 8, 10, 3),
+    ]
+
+
+def test_duplicate_ngram_spans_min_count(spark):
+    """min_count=3 requires a third occurrence before a span is marked."""
+    rows = [("A", "a b c d"), ("B", "z a b c"), ("C", "a b c q")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got3 = dedup.duplicate_ngram_spans(df, n=3, min_count=3).collect()
+    assert sorted((r.doc_id, r.span_start) for r in got3) == [
+        ("A", 1), ("B", 2), ("C", 1),
+    ]
+    got4 = dedup.duplicate_ngram_spans(df, n=4, min_count=2).collect()
+    assert got4 == []  # no shared 4-token window
+
+
+def test_repetition_stats_known_case(spark):
+    """Gopher repetition fractions, hand-computed."""
+    rows = [
+        ("d1", "the cat the cat runs"),       # top 2-gram "the cat" x2
+        ("d2", "a b c d e a b c d e"),        # duplicated 5-gram
+        ("d3", "x y z"),                      # < 5 tokens: dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.top2gram_char_frac, r.dup5gram_char_frac)
+        for r in textstats.repetition_stats(df).collect()
+    }
+    assert set(got) == {"d1", "d2"}
+    # d1: nchars=20; "the cat" twice -> 14/20; single 5-gram window -> 0
+    assert got["d1"] == (0.7, 0.0)
+    # d2: nchars=19; top 2-gram 2*3=6 chars; "a b c d e" twice -> 18/19
+    assert got["d2"] == (round(6 / 19, 6), round(18 / 19, 6))
+
+
+def test_repetition_stats_nonvacuous_on_fixture(spark, documents):
+    out = textstats.repetition_stats(documents)
+    assert out.count() > 0
+    row = out.agg(F.max("top2gram_char_frac").alias("m")).collect()[0]
+    assert 0.0 < row.m <= 1.0
