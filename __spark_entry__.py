@@ -935,6 +935,83 @@ def repetition_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(d).orderBy("doc_id")
 
 
+_CORPUS_ORACLE = f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text, length(text) AS nc, {_TOKS_SQL} AS tk
+      FROM documents
+    ), g2 AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS gram
+              FROM t, unnest(generate_series(1, len(tk)-1)) AS u(i)),
+    c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+    a2 AS (SELECT doc_id, max(cnt*length(gram)) AS top_chars
+           FROM c2 GROUP BY doc_id),
+    g5 AS (SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+           FROM t, unnest(generate_series(1, len(tk)-4)) AS u(i)),
+    c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY doc_id, gram),
+    a5 AS (SELECT doc_id,
+                  sum(CASE WHEN cnt>=2 THEN cnt*length(gram) ELSE 0 END)
+                    AS dup_chars
+           FROM c5 GROUP BY doc_id),
+    filt AS (
+      SELECT t.doc_id, t.text, t.tk FROM t
+      JOIN a2 USING (doc_id) JOIN a5 USING (doc_id)
+      WHERE len(t.tk) >= 10
+        AND round(a2.top_chars / t.nc, 6) <= 0.20
+        AND round(a5.dup_chars / t.nc, 6) <= 0.15
+    ),
+    exact AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY text),
+    f2 AS (SELECT filt.* FROM filt SEMI JOIN exact USING (doc_id)),
+    sh AS (SELECT doc_id, {_shingle_sql(3)} AS s FROM f2),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s)) >= {_MINHASH_THRESHOLD}
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM sym GROUP BY a
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    losers AS (SELECT src AS doc_id FROM reach GROUP BY src
+               HAVING min(dst) <> src)
+    SELECT doc_id FROM f2 ANTI JOIN losers USING (doc_id) ORDER BY doc_id
+"""
+
+
+@_q("corpus_prepared", _CORPUS_ORACLE)
+def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-corpus funnel (functions/corpus.py): Gopher
+    repetition + length gates -> exact dedup -> MinHash-LSH near-dup
+    survivors, one oracle over the whole chain.  min_quality=0 (the
+    score is always >= 0) keeps the oracle to the SQL-expressible
+    stages — the quality gate itself is oracled by text_quality_stats.
+    The deterministic hash split is disabled here (xxhash64 is not
+    SQL-expressible; covered by tests/test_corpus_sampling.py).  LSH
+    config matches the proven dedup_minhash_components setup."""
+    from go_crawler_spark.functions.corpus import (
+        CorpusConfig,
+        prepare_training_corpus,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    cfg = CorpusConfig(
+        min_tokens=10,
+        min_quality=0.0,
+        minhash_threshold=_MINHASH_THRESHOLD,
+        minhash_shingle_k=3,
+        minhash_bands=32,
+        split_weights=None,
+        persist_intermediate=True,
+    )
+    return (
+        prepare_training_corpus(d, cfg)["corpus"]
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators: rows-only checks (no oracle entry)
 # ---------------------------------------------------------------------------

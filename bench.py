@@ -167,6 +167,9 @@ def main() -> None:
         "ann_brute_force_topk",
         "knn_join_exact",
         "user_sessions",
+        "duplicate_spans",
+        "repetition_stats",
+        "corpus_prepared",
         "text_quality_stats",
         "search_bm25_ranked",
         "search_phrase_ranked",

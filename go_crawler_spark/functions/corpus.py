@@ -1,0 +1,131 @@
+"""End-to-end training-corpus preparation.
+
+The composition a 100 TB pipeline runs over raw crawled documents before
+tokenizer/LM training, in the standard order (C4/Gopher filtering, then
+exact dedup, then near dedup, then split) — cheap zero-shuffle column
+filters first, so the shuffling dedup stages see the smallest possible
+corpus:
+
+1. quality gate  — token count, quality score, optional language
+                   allow-list (``textstats.with_text_stats``) and the
+                   Gopher repetition cuts (``textstats.repetition_cols``),
+                   all pure Column expressions, zero shuffle;
+2. exact dedup   — min-id survivor per 128-bit text hash
+                   (``dedup.exact_dedup``), one shuffle;
+3. near dedup    — MinHash-LSH pair graph collapsed to connected
+                   components, one survivor per cluster
+                   (``dedup.minhash_near_dups`` +
+                   ``dedup.dedup_survivors_from_pairs``);
+4. split         — deterministic, subset-stable train/val/test hash
+                   split (``sampling.hash_split``), zero shuffle.
+
+Every stage is lazy: ``prepare_training_corpus`` returns the per-stage
+DataFrames without triggering a job, and ``corpus_report`` (one action
+per stage, caller opts in) counts the funnel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from go_crawler_spark.functions import sampling
+from go_crawler_spark.functions.dedup import (
+    dedup_survivors_from_pairs,
+    exact_dedup,
+    minhash_near_dups,
+)
+from go_crawler_spark.functions.textstats import with_text_stats
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    """Thresholds for :func:`prepare_training_corpus`.
+
+    Defaults follow the published filters: Gopher (Rae et al. 2021,
+    table A1) cuts documents whose most frequent 2-gram covers > 0.20 of
+    characters or whose duplicate 5-grams cover > 0.15; the quality and
+    length gates use this package's ``quality_score`` scale.
+    """
+
+    min_tokens: int = 10
+    min_quality: float = 0.3
+    langs: tuple[str, ...] | None = None  # None = keep every language
+    max_top2gram_frac: float = 0.20
+    max_dup5gram_frac: float = 0.15
+    minhash_threshold: float = 0.8
+    minhash_shingle_k: int = 5
+    minhash_num_hashes: int = 64
+    minhash_bands: int | None = None
+    split_weights: dict[str, float] | None = field(
+        default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
+    )
+    seed: int = 42
+    # Persist the exact-deduped frame: the near-dup pair join and the
+    # survivor anti-join each re-derive it, so without a persist the
+    # quality/repetition filter chain is recomputed up to 3x per action.
+    # Off by default — at 100 TB write the stage to a table instead; the
+    # caller owns unpersist().
+    persist_intermediate: bool = False
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    config: CorpusConfig = CorpusConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Run the full preparation funnel; returns the per-stage frames
+    ``{"annotated", "filtered", "deduped", "corpus"}`` (all lazy).
+
+    ``annotated`` carries every stats column; later stages keep the
+    original ``df`` schema (plus ``split`` on ``corpus`` when
+    ``config.split_weights`` is set).
+    """
+    annotated = with_text_stats(df, text_col, repetition=True)
+    cond = (
+        (F.col("n_tokens") >= config.min_tokens)
+        & (F.col("quality_score") >= config.min_quality)
+        & (F.col("top2gram_char_frac") <= config.max_top2gram_frac)
+        & (F.col("dup5gram_char_frac") <= config.max_dup5gram_frac)
+    )
+    if config.langs is not None:
+        cond = cond & F.col("lang_guess").isin(*config.langs)
+    filtered = annotated.where(cond).select(*df.columns)
+
+    exact = exact_dedup(filtered, text_col, id_col)
+    if config.persist_intermediate:
+        exact = exact.persist()
+    pairs = minhash_near_dups(
+        exact,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=config.minhash_num_hashes,
+        bands=config.minhash_bands,
+        shingle_k=config.minhash_shingle_k,
+        jaccard_threshold=config.minhash_threshold,
+        # a few-file input would otherwise compute every signature in a
+        # handful of tasks
+        spread_partitions=df.sparkSession.sparkContext.defaultParallelism,
+    )
+    deduped = dedup_survivors_from_pairs(exact, pairs, id_col)
+
+    corpus = deduped
+    if config.split_weights:
+        corpus = sampling.hash_split(
+            deduped, config.split_weights, key=id_col, seed=config.seed
+        )
+    return {
+        "annotated": annotated,
+        "filtered": filtered,
+        "deduped": deduped,
+        "corpus": corpus,
+    }
+
+
+def corpus_report(stages: dict[str, DataFrame]) -> dict[str, int]:
+    """Count the funnel (one action per stage — caller opts in; at scale
+    run it on the written parquet footers instead)."""
+    return {name: frame.count() for name, frame in stages.items()}

@@ -180,36 +180,100 @@ def fingerprint_col(text: Column | str, k: int = 5, toks: Column | None = None) 
 # ---------------------------------------------------------------------------
 
 
-def _gram_runs(toks: Column, k: int) -> Column:
-    """Run-length encoded word k-grams of one document:
-    ``array<struct<cnt:int, glen:int>>`` — occurrence count and char
-    length (spaces included) per distinct gram.
+def _kgram_col(toks: Column, k: int) -> Column:
+    """Non-distinct word k-grams (space-joined), built ONLY from
+    ``zip_with`` shift-chains.
 
-    Shape for 100 TB: sort-the-array + boundary scan, all inside one
-    whole-stage-codegen'd projection — per-document O(m log m), ZERO
-    shuffle (no groupBy on gram text), embarrassingly parallel.
-    Caller must guarantee ``size(toks) >= k``.
+    Expression-safety invariant (load-bearing for performance): no
+    lambda body here references an outer expression — captured arrays
+    appear only as DIRECT children of higher-order functions, which
+    Spark evaluates once per ROW.  A formulation like
+    ``transform(seq, i -> slice(toks, i, k))`` re-evaluates ``toks``
+    once per ELEMENT; that is harmless while ``toks`` is a column
+    attribute, but the optimizer (predicate pushdown, CollapseProject)
+    may substitute the attribute with its defining expression — e.g.
+    the tokenizer's regexp split — turning a linear scan into
+    O(tokens x split-cost) per row (measured 350x slower at sf0.1 when
+    a corpus filter was pushed into the stats projection).
     """
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    m = F.size(toks)
+    g = toks
+    for j in range(1, k):
+        # zip pads the shorter (shifted) side with NULL; F.concat
+        # propagates the NULL so padded tails drop in the final slice.
+        g = F.zip_with(
+            g,
+            F.slice(toks, j + 1, F.greatest(m - j, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.slice(g, 1, F.greatest(m - (k - 1), F.lit(0)))
+
+
+def _repetition_aggs(sorted_grams: Column) -> Column:
+    """``struct<top:long, dup:long>`` — characters covered by the most
+    frequent gram / by all grams occurring >= 2 times — via ONE
+    streaming run-length pass over the sorted gram array
+    (``F.aggregate``: O(1) per element, lambda touches only its own
+    arguments, so it stays linear even if the optimizer inlines the
+    whole expression into a filter).  The '' sentinel never collides:
+    grams of non-empty tokens are non-empty."""
+
+    def fin_top(acc: Column) -> Column:
+        return F.greatest(acc["top"], acc["run"] * F.length(acc["prev"]))
+
+    def fin_dup(acc: Column) -> Column:
+        return acc["dup"] + F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0).cast("long"))
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
     )
-    s = F.array_sort(grams)
-    m = F.size(s)
-    bounds = F.filter(
-        F.sequence(F.lit(1), m),
-        lambda i: (i == F.lit(1)) | (F.element_at(s, i) != F.element_at(s, i - 1)),
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["top"]).otherwise(fin_top(acc)).alias("top"),
+            F.when(same, acc["dup"]).otherwise(fin_dup(acc)).alias("dup"),
+        )
+
+    return F.aggregate(
+        sorted_grams,
+        init,
+        merge,
+        lambda acc: F.struct(fin_top(acc).alias("top"), fin_dup(acc).alias("dup")),
     )
-    nxt = F.concat(
-        F.slice(bounds, 2, F.greatest(F.size(bounds) - 1, F.lit(0))),
-        F.array(m + 1),
-    )
-    return F.zip_with(
-        bounds,
-        nxt,
-        lambda b, nb: F.struct(
-            (nb - b).alias("cnt"), F.length(F.element_at(s, b)).alias("glen")
-        ),
+
+
+def _with_repetition(
+    out: DataFrame,
+    text_col: str,
+    toks_name: str,
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Attach ``top{top_n}gram_char_frac`` / ``dup{dup_n}gram_char_frac``
+    (NULL for documents with fewer than max(top_n, dup_n) tokens; see
+    :func:`repetition_stats`).  Requires a materialized tokens column.
+
+    Shape for 100 TB: per-document sort + one streaming aggregate —
+    O(m log m) per row, ZERO shuffle (no groupBy on gram text),
+    embarrassingly parallel, and safe against optimizer inlining (see
+    :func:`_kgram_col`)."""
+    nchars = F.length(F.col(text_col))
+    toks = F.col(toks_name)
+    ok = F.size(toks) >= max(top_n, dup_n)
+    top_chars = _repetition_aggs(F.array_sort(_kgram_col(toks, top_n)))["top"]
+    dup_chars = _repetition_aggs(F.array_sort(_kgram_col(toks, dup_n)))["dup"]
+    return out.withColumn(
+        f"top{top_n}gram_char_frac", F.when(ok, F.round(top_chars / nchars, 6))
+    ).withColumn(
+        f"dup{dup_n}gram_char_frac", F.when(ok, F.round(dup_chars / nchars, 6))
     )
 
 
@@ -236,22 +300,12 @@ def repetition_stats(
     taken over covered-chars directly).
     """
     t = _toks_or(text_col, toks)
-    nchars = F.length(F.col(text_col) if isinstance(text_col, str) else text_col)
-    base = df.select(
-        F.col(id_col), nchars.alias("_nc"), t.alias("_t")
-    ).where(F.size("_t") >= max(top_n, dup_n))
-    top_runs = _gram_runs(F.col("_t"), top_n)
-    dup_runs = _gram_runs(F.col("_t"), dup_n)
-    top_chars = F.array_max(F.transform(top_runs, lambda r: r["cnt"] * r["glen"]))
-    dup_chars = F.aggregate(
-        F.filter(dup_runs, lambda r: r["cnt"] >= 2),
-        F.lit(0),
-        lambda acc, r: acc + r["cnt"] * r["glen"],
+    base = df.select(F.col(id_col), F.col(text_col), t.alias("_t")).where(
+        F.size("_t") >= max(top_n, dup_n)
     )
-    return base.select(
-        id_col,
-        F.round(top_chars / F.col("_nc"), 6).alias(f"top{top_n}gram_char_frac"),
-        F.round(dup_chars / F.col("_nc"), 6).alias(f"dup{dup_n}gram_char_frac"),
+    out = _with_repetition(base, text_col, "_t", top_n, dup_n)
+    return out.select(
+        id_col, f"top{top_n}gram_char_frac", f"dup{dup_n}gram_char_frac"
     )
 
 
@@ -269,7 +323,9 @@ def vocab_counts(
     )
 
 
-def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_text_stats(
+    df: DataFrame, text_col: str = "text", repetition: bool = False
+) -> DataFrame:
     """Attach all stats columns to a documents DataFrame.
 
     Single-pass: the tokenizer (the expensive regexp split) is
@@ -277,6 +333,10 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Catalyst's CollapseProject keeps non-cheap multi-referenced aliases
     in their own projection, so the split runs once per row, not once
     per feature.
+
+    ``repetition=True`` additionally attaches the Gopher repetition
+    fractions (:func:`repetition_cols`; NULL for documents too short to
+    define them).
     """
     out = df.withColumn("_toks", tokens_col(text_col))
     toks = F.col("_toks")
@@ -284,10 +344,12 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, col in feats.items():
         out = out.withColumn(name, col)
     score = _quality_score_expr({name: F.col(name) for name in feats})
-    return (
+    out = (
         out.withColumn("bpe_tokens", bpe_token_estimate_col(text_col))
         .withColumn("quality_score", score)
         .withColumn("lang_guess", lang_id_col(text_col, toks=toks))
         .withColumn("fingerprint", fingerprint_col(text_col, toks=toks))
-        .drop("_toks")
     )
+    if repetition:
+        out = _with_repetition(out, text_col, "_toks")
+    return out.drop("_toks")

@@ -1,0 +1,131 @@
+"""Deterministic sampling/splitting and the corpus-preparation funnel."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from go_crawler_spark.functions import sampling
+from go_crawler_spark.functions.corpus import (
+    CorpusConfig,
+    corpus_report,
+    prepare_training_corpus,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_unit_hash_range_and_determinism(spark, documents):
+    u = documents.select(sampling.unit_hash("doc_id").alias("u"))
+    row = u.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    assert 0.0 <= row.lo and row.hi < 1.0 and row.n == 500
+    a = sorted(r.u for r in u.collect())
+    b = sorted(r.u for r in u.collect())
+    assert a == b
+
+
+def test_hash_split_disjoint_exhaustive_deterministic(spark, documents):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = sampling.hash_split(documents, w).select("doc_id", "split")
+    counts = {r.split: r.cnt for r in s1.groupBy("split").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 500          # exhaustive (split never NULL)
+    assert set(counts) <= set(w)
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    s2 = sampling.hash_split(documents, w).select("doc_id", "split")
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_hash_split_subset_stable(spark, documents):
+    """Membership depends only on (key, seed): splitting a filtered
+    subset assigns every row the same split as in the full corpus."""
+    w = {"train": 0.7, "val": 0.3}
+    full = {r.doc_id: r.split for r in sampling.hash_split(documents, w)
+            .select("doc_id", "split").collect()}
+    sub = sampling.hash_split(documents.where(F.col("doc_id") < 100), w)
+    for r in sub.select("doc_id", "split").collect():
+        assert full[r.doc_id] == r.split
+
+
+def test_sample_fraction_nested_and_calibrated(spark, documents):
+    small = sampling.sample_fraction(documents, 0.3)
+    big = sampling.sample_fraction(documents, 0.6)
+    small_ids = {r.doc_id for r in small.select("doc_id").collect()}
+    big_ids = {r.doc_id for r in big.select("doc_id").collect()}
+    assert small_ids <= big_ids                  # nested samples
+    assert 0.15 * 500 <= len(small_ids) <= 0.45 * 500
+    assert 0.45 * 500 <= len(big_ids) <= 0.75 * 500
+
+
+def test_stratified_sample_keeps_full_strata_and_drops_default(spark):
+    rows = [(i, "en" if i % 2 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = sampling.stratified_sample(df, {"en": 1.0, "de": 0.4}, "lang")
+    got = {r.lang: r.cnt for r in out.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert got["en"] == 100                      # fraction 1.0 keeps all
+    assert 10 <= got.get("de", 0) < 100
+    none_listed = sampling.stratified_sample(df, {"fr": 1.0}, "lang")
+    assert none_listed.count() == 0              # default_fraction=0
+
+
+def test_sampling_validation_errors(spark, documents):
+    with pytest.raises(ValueError):
+        sampling.sample_fraction(documents, 1.5)
+    with pytest.raises(ValueError):
+        sampling.split_col({"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError):
+        sampling.split_col({"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError):
+        sampling.split_col({})
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(documents, {"en": 2.0}, "lang")
+
+
+def _w(i, j):  # distinct filler token
+    return f"w{i}x{j}"
+
+
+def test_prepare_training_corpus_funnel(spark):
+    """Planted junk is removed at the intended stage."""
+    base = " ".join(_w(0, j) for j in range(60))
+    near = base.replace(_w(0, 30), "zz")         # one token differs
+    rows = [
+        (0, base),
+        (1, base),                               # exact dup of 0
+        (2, near),                               # near dup of 0
+        (3, " ".join(_w(3, j) for j in range(60))),
+        (4, "too short"),                        # < min_tokens
+        (5, " ".join(["spam"] * 40)),            # repetitive (Gopher cut)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = CorpusConfig(min_tokens=10, min_quality=0.0, split_weights=None)
+    stages = prepare_training_corpus(df, cfg)
+    report = corpus_report(stages)
+    assert report == {"annotated": 6, "filtered": 4, "deduped": 2, "corpus": 2}
+    ids = sorted(r.doc_id for r in stages["corpus"].select("doc_id").collect())
+    assert ids == [0, 3]
+    assert stages["corpus"].columns == ["doc_id", "text"]
+
+
+def test_prepare_training_corpus_split_and_lang(spark, documents):
+    cfg = CorpusConfig(
+        min_tokens=5, min_quality=0.0,
+        split_weights={"train": 0.9, "val": 0.1},
+    )
+    stages = prepare_training_corpus(documents, cfg)
+    corpus = stages["corpus"]
+    assert "split" in corpus.columns
+    n = corpus.count()
+    assert 0 < n <= 500
+    assert corpus.where(F.col("split").isNull()).count() == 0
+    # language allow-list only ever shrinks the corpus
+    cfg_en = CorpusConfig(min_tokens=5, min_quality=0.0, langs=("en",),
+                          split_weights=None)
+    n_en = prepare_training_corpus(documents, cfg_en)["corpus"].count()
+    assert n_en <= n

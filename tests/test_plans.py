@@ -246,3 +246,30 @@ def test_robots_crawl_delay_does_not_merge_groups():
     txt = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x\n"
     assert parse_robots_txt(txt, user_agent="a") == []       # a's group: no rules
     assert parse_robots_txt(txt, user_agent="b") == ["/x"]   # b's group intact
+
+
+def test_repetition_stats_zero_shuffle_python_free(spark):
+    """The Gopher repetition filters must stay one codegen'd projection:
+    no Exchange (per-doc sorted-array run-lengths, not a gram groupBy)
+    and no Python evaluation."""
+    from go_crawler_spark.functions.textstats import repetition_stats
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = repetition_stats(d)
+    p = plans.formatted_plan(df)
+    assert plans.shuffle_count(df) == 0, p[:800]
+    assert "Python" not in p and "ArrowEval" not in p, p[:500]
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """Exact-substring span dedup: ids+hashes shuffles only — no
+    cartesian, no broadcast-NLJ, no Python; the duplicate-key side of
+    the semi join is pre-aggregated (HashAggregate feeds the join)."""
+    from go_crawler_spark.functions.dedup import duplicate_ngram_spans
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = duplicate_ngram_spans(d, n=8)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Python" not in p and "ArrowEval" not in p, p[:500]
+    assert "LeftSemi" in p, p[:500]
