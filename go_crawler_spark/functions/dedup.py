@@ -83,23 +83,37 @@ def minhash_signature_col(text: Column | str, num_hashes: int = 64, shingle_k: i
 def minhash_from_hashes(hashed_shingles: Column, num_hashes: int = 64) -> Column:
     """Signature from an already-hashed shingle array (array<long>).
 
-    NB the per-permutation salt must be captured in a ONE-parameter
-    lambda: a two-parameter lambda (e.g. ``lambda h, i=i``) is treated
-    by ``F.transform`` as the (element, array_index) binary form, which
-    silently turns every "salt" into the element's position — all
-    permutations collapse into one and LSH recall degenerates to the
-    raw jaccard value.
+    ONE streaming ``aggregate`` over the shingle hashes updates all
+    ``num_hashes`` permutation minima per element (the simhash-vote
+    shape): the input array is a DIRECT child, evaluated once per row,
+    and no lambda body references an outer expression — so the cost
+    stays O(m x num_hashes) even if the optimizer inlines this
+    expression into a filter or another projection.  (The previous
+    formulation — one ``transform`` per permutation — re-evaluated the
+    shingle-hash array ``num_hashes`` times per row whenever it was not
+    behind a checkpoint barrier; see ``kgrams_col`` for the general
+    expression-safety invariant.)  Per-permutation salts are the
+    constant-folded ``sequence(0, n-1)``; signature values are
+    bit-identical to the per-transform formulation.
+
+    Empty input hashes to an all-NULL signature (parity with
+    ``array_min`` over an empty array).
     """
-
-    def perm(i: int):
-        return lambda h: F.xxhash64(h, F.lit(i))
-
-    return F.array(
-        *[
-            F.array_min(F.transform(hashed_shingles, perm(i)))
-            for i in range(num_hashes)
-        ]
-    ).alias("minhash_sig")
+    salts = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    sig = F.aggregate(
+        hashed_shingles,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(salts, lambda i: F.xxhash64(h, i)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    empty = F.array_repeat(F.lit(None).cast("long"), num_hashes)
+    return F.when(F.size(hashed_shingles) > 0, sig).otherwise(empty).alias(
+        "minhash_sig"
+    )
 
 
 def lsh_bands(

@@ -155,32 +155,7 @@ def lang_id_col(text: Column | str, toks: Column | None = None) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def shingles_col(text: Column | str, k: int = 5, toks: Column | None = None) -> Column:
-    """Distinct word k-gram shingles (the dedup/similarity unit)."""
-    toks = _toks_or(text, toks)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.when(n >= k, F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )).otherwise(F.array(F.concat_ws(" ", toks)))
-
-
-def fingerprint_col(text: Column | str, k: int = 5, toks: Column | None = None) -> Column:
-    """64-bit document fingerprint: min rolling-hash over k-gram shingles.
-
-    Equal fingerprints ⇒ very likely near-identical prefix content; used
-    as a cheap first-pass cluster key before exact/minhash dedup.
-    """
-    sh = shingles_col(text, k, toks=toks)
-    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s))).alias("fingerprint")
-
-
-# ---------------------------------------------------------------------------
-# Repetition filters (Gopher, Rae et al. 2021, appendix A1.1)
-# ---------------------------------------------------------------------------
-
-
-def _kgram_col(toks: Column, k: int) -> Column:
+def kgrams_col(toks: Column, k: int) -> Column:
     """Non-distinct word k-grams (space-joined), built ONLY from
     ``zip_with`` shift-chains.
 
@@ -207,6 +182,32 @@ def _kgram_col(toks: Column, k: int) -> Column:
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     return F.slice(g, 1, F.greatest(m - (k - 1), F.lit(0)))
+
+
+def shingles_col(text: Column | str, k: int = 5, toks: Column | None = None) -> Column:
+    """Distinct word k-gram shingles (the dedup/similarity unit).
+    Built with :func:`kgrams_col`, so it stays linear even when the
+    optimizer inlines it into a filter or join condition."""
+    toks = _toks_or(text, toks)
+    n = F.size(toks)
+    return F.when(n >= k, F.array_distinct(kgrams_col(toks, k))).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def fingerprint_col(text: Column | str, k: int = 5, toks: Column | None = None) -> Column:
+    """64-bit document fingerprint: min rolling-hash over k-gram shingles.
+
+    Equal fingerprints ⇒ very likely near-identical prefix content; used
+    as a cheap first-pass cluster key before exact/minhash dedup.
+    """
+    sh = shingles_col(text, k, toks=toks)
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s))).alias("fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher, Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
 
 
 def _repetition_aggs(sorted_grams: Column) -> Column:
@@ -264,12 +265,12 @@ def _with_repetition(
     Shape for 100 TB: per-document sort + one streaming aggregate —
     O(m log m) per row, ZERO shuffle (no groupBy on gram text),
     embarrassingly parallel, and safe against optimizer inlining (see
-    :func:`_kgram_col`)."""
+    :func:`kgrams_col`)."""
     nchars = F.length(F.col(text_col))
     toks = F.col(toks_name)
     ok = F.size(toks) >= max(top_n, dup_n)
-    top_chars = _repetition_aggs(F.array_sort(_kgram_col(toks, top_n)))["top"]
-    dup_chars = _repetition_aggs(F.array_sort(_kgram_col(toks, dup_n)))["dup"]
+    top_chars = _repetition_aggs(F.array_sort(kgrams_col(toks, top_n)))["top"]
+    dup_chars = _repetition_aggs(F.array_sort(kgrams_col(toks, dup_n)))["dup"]
     return out.withColumn(
         f"top{top_n}gram_char_frac", F.when(ok, F.round(top_chars / nchars, 6))
     ).withColumn(

@@ -240,24 +240,31 @@ def phrase_match(toks: Column, q_tokens: list[str]) -> tuple[Column, Column]:
     """Token-positional phrase match: (matched, occurrence count).
 
     The query token sequence must appear CONSECUTIVELY in the token
-    stream (``match_phrase`` semantics) — all JVM-side via higher-order
-    functions: for every viable start position, compare the m-slice
-    against the query array.
+    stream (``match_phrase`` semantics) — all JVM-side: the token
+    stream's m-grams (``kgrams_col`` zip_with shift-chains) are compared
+    against the space-joined query phrase.  The join is bijective
+    because the package tokenizer never emits tokens containing spaces.
+
+    Expression-safe by construction (see ``kgrams_col``): the earlier
+    per-start-position ``slice(toks, i, m)`` captured ``toks`` inside
+    the lambda, re-running the tokenizer split once per position when
+    callers pass the tokens EXPRESSION (as the search operator does).
     """
+    from go_crawler_spark.functions.textstats import kgrams_col
+
     m = len(q_tokens)
     n = F.size(toks)
-    qarr = F.array(*[F.lit(t) for t in q_tokens])
+    phrase = F.lit(" ".join(q_tokens))
     # cheap conjunctive guard first: a positional match implies every
     # token is present, so non-candidate docs (the vast majority in a
     # real corpus) never pay the O(n*m) positional scan
     guard = F.lit(True)
     for t in q_tokens:
         guard = guard & F.array_contains(toks, t)
-    # NB sequence(1, k) with k < 1 yields a DESCENDING sequence — guard
-    starts = F.when(guard & (n >= m), F.sequence(F.lit(1), n - m + 1)).otherwise(
-        F.array().cast("array<int>")
+    grams = F.when(guard & (n >= m), kgrams_col(toks, m)).otherwise(
+        F.array().cast("array<string>")
     )
-    occ = F.size(F.filter(starts, lambda i: F.slice(toks, i, m) == qarr))
+    occ = F.size(F.filter(grams, lambda g: g == phrase))
     return occ > 0, occ
 
 
