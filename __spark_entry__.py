@@ -778,6 +778,51 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_ngram_spans(d, n=_SPANS_N).orderBy("doc_id", "span_start")
 
 
+_SPANS_CUT_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    w AS (SELECT doc_id, i AS pos,
+                 array_to_string(tk[i:i+{_SPANS_N - 1}], ' ') AS gram
+          FROM t, unnest(generate_series(1, len(tk)-{_SPANS_N - 1})) AS u(i)),
+    d AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+    h AS (SELECT w.doc_id, w.pos FROM w SEMI JOIN d USING (gram)),
+    m AS (SELECT doc_id, pos,
+            CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {_SPANS_N}
+                 THEN 0 ELSE 1 END AS newgrp
+          FROM h),
+    g AS (SELECT doc_id, pos,
+            sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),
+    sp AS (SELECT doc_id, min(pos) AS s, max(pos)+{_SPANS_N - 1} AS e
+           FROM g GROUP BY doc_id, grp),
+    tokidx AS (SELECT doc_id, tk[i] AS tok, i
+               FROM t, unnest(generate_series(1, len(tk))) AS u(i)),
+    kept AS (SELECT ti.doc_id, ti.tok, ti.i FROM tokidx ti
+             ANTI JOIN sp ON ti.doc_id = sp.doc_id
+                         AND ti.i BETWEEN sp.s AND sp.e),
+    ca AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                  count(*) AS nk
+           FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(ca.clean_text, '') AS clean_text,
+           len(t.tk) - coalesce(ca.nk, 0) AS n_cut_tokens
+    FROM t LEFT JOIN ca USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+@_q("duplicate_spans_cut", _SPANS_CUT_ORACLE)
+def duplicate_spans_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step of exact substring dedup: every token covered by a
+    duplicated {_SPANS_N}-token span removed, survivors re-joined
+    (functions/dedup.cut_duplicate_spans over duplicate_ngram_spans)."""
+    from go_crawler_spark.functions.dedup import (
+        cut_duplicate_spans,
+        duplicate_ngram_spans,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    spans = duplicate_ngram_spans(d, n=_SPANS_N)
+    return cut_duplicate_spans(d, spans).orderBy("doc_id")
+
+
 @_q(
     "user_sessions",
     r"""

@@ -361,6 +361,57 @@ def duplicate_ngram_spans(
     )
 
 
+def cut_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toks: Column | None = None,
+) -> DataFrame:
+    """The CUT step of exact substring dedup (Lee et al. 2022): remove
+    every token covered by a duplicated span (from
+    :func:`duplicate_ngram_spans`, same tokenizer) and re-join the
+    survivors.  Returns ``(id_col, clean_text, n_cut_tokens)`` for EVERY
+    input document (docs without spans pass through unchanged).
+
+    Scale shape: spans aggregate to one small array per affected doc
+    (maximal spans are disjoint, so there are at most tokens/n of them),
+    ONE left join brings them to the text, and the cut itself is a pure
+    per-row filter over (token, index) pairs — lambdas reference only
+    their own arguments plus the per-row spans attribute, so the scan
+    stays linear under optimizer inlining (see ``kgrams_col``).
+    """
+    sp = spans.groupBy(F.col(id_col).alias("id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    t = tokens_col(text_col) if toks is None else toks
+    base = df.select(F.col(id_col).alias("id"), t.alias("_t")).join(
+        sp, "id", "left"
+    )
+    n = F.size(F.col("_t"))
+    idxed = F.when(
+        n > 0,
+        F.zip_with(
+            F.col("_t"),
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w:string,i:int>>"))
+    spans_arr = F.coalesce(F.col("_spans"), F.array())
+    kept = F.filter(
+        idxed,
+        lambda x: ~F.exists(
+            spans_arr,
+            lambda s: (x["i"] >= s["span_start"]) & (x["i"] <= s["span_end"]),
+        ),
+    )
+    return base.select(
+        F.col("id").alias(id_col),
+        F.array_join(F.transform(kept, lambda x: x["w"]), " ").alias("clean_text"),
+        (n - F.size(kept)).alias("n_cut_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: pairs -> connected components -> survivors
 # ---------------------------------------------------------------------------

@@ -546,3 +546,27 @@ def test_repetition_stats_nonvacuous_on_fixture(spark, documents):
     assert out.count() > 0
     row = out.agg(F.max("top2gram_char_frac").alias("m")).collect()[0]
     assert 0.0 < row.m <= 1.0
+
+
+def test_cut_duplicate_spans_known_case(spark):
+    """Cut removes exactly the span-covered tokens; untouched docs pass
+    through; a fully-duplicated doc cuts to empty."""
+    rows = [
+        ("A", "a b c d e f g"),
+        ("B", "x a b c d y z"),
+        ("C", "u v w"),                    # no spans: passthrough
+        ("D", "p q r p q r"),              # fully covered (within-doc dup)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = dedup.duplicate_ngram_spans(df, n=3)
+    got = {
+        r.doc_id: (r.clean_text, r.n_cut_tokens)
+        for r in dedup.cut_duplicate_spans(df, spans).collect()
+    }
+    # A: span [1,4] ("a b c d") cut -> "e f g"
+    assert got["A"] == ("e f g", 4)
+    # B: span [2,5] cut -> "x y z"
+    assert got["B"] == ("x y z", 4)
+    assert got["C"] == ("u v w", 0)
+    # D: windows "p q r","q r p","r p q","p q r" -> all positions dup
+    assert got["D"] == ("", 6)
