@@ -744,8 +744,11 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPANS_N = 8
-_SPANS_ORACLE = f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+# shared span-derivation CTE chain (tokenize -> windows -> dup grams ->
+# hit positions -> merge groups) — composed by BOTH span oracles so the
+# merge rule can never desynchronize between them
+_SPANS_CTES = f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
     w AS (SELECT doc_id, i AS pos,
                  array_to_string(tk[i:i+{_SPANS_N - 1}], ' ') AS gram
           FROM t, unnest(generate_series(1, len(tk)-{_SPANS_N - 1})) AS u(i)),
@@ -758,6 +761,9 @@ _SPANS_ORACLE = f"""
           FROM h),
     g AS (SELECT doc_id, pos,
             sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m)
+"""
+_SPANS_ORACLE = f"""
+    WITH {_SPANS_CTES}
     SELECT doc_id, min(pos) AS span_start, max(pos)+{_SPANS_N - 1} AS span_end,
            max(pos)+{_SPANS_N - 1}-min(pos)+1 AS span_len
     FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start
@@ -779,19 +785,7 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPANS_CUT_ORACLE = f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
-    w AS (SELECT doc_id, i AS pos,
-                 array_to_string(tk[i:i+{_SPANS_N - 1}], ' ') AS gram
-          FROM t, unnest(generate_series(1, len(tk)-{_SPANS_N - 1})) AS u(i)),
-    d AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
-    h AS (SELECT w.doc_id, w.pos FROM w SEMI JOIN d USING (gram)),
-    m AS (SELECT doc_id, pos,
-            CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {_SPANS_N}
-                 THEN 0 ELSE 1 END AS newgrp
-          FROM h),
-    g AS (SELECT doc_id, pos,
-            sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),
+    WITH {_SPANS_CTES},
     sp AS (SELECT doc_id, min(pos) AS s, max(pos)+{_SPANS_N - 1} AS e
            FROM g GROUP BY doc_id, grp),
     tokidx AS (SELECT doc_id, tk[i] AS tok, i
@@ -1048,7 +1042,12 @@ def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_shingle_k=3,
         minhash_bands=32,
         split_weights=None,
-        persist_intermediate=True,
+        # no persist here: repeated driver/bench invocations would leak
+        # one cached frame per call (nothing ever unpersists it)
+        persist_intermediate=False,
+        # the sf fixture is a single parquet file; without spreading,
+        # every signature computes in one task
+        spread_partitions=spark.sparkContext.defaultParallelism,
     )
     return (
         prepare_training_corpus(d, cfg)["corpus"]

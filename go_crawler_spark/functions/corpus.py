@@ -8,7 +8,7 @@ corpus:
 
 1. quality gate  — token count, quality score, optional language
                    allow-list (``textstats.with_text_stats``) and the
-                   Gopher repetition cuts (``textstats.repetition_cols``),
+                   Gopher repetition cuts (``textstats._with_repetition``),
                    all pure Column expressions, zero shuffle;
 2. exact dedup   — min-id survivor per 128-bit text hash
                    (``dedup.exact_dedup``), one shuffle;
@@ -69,6 +69,13 @@ class CorpusConfig:
     # Off by default — at 100 TB write the stage to a table instead; the
     # caller owns unpersist().
     persist_intermediate: bool = False
+    # Repartition width for the minhash signature stage.  None (default)
+    # trusts the input layout, honoring minhash_near_dups' contract that
+    # a well-partitioned 100 TB scan must never be down-partitioned or
+    # re-shuffled; set (e.g. to defaultParallelism) only for few-file
+    # inputs whose signatures would otherwise compute in a handful of
+    # tasks.
+    spread_partitions: int | None = None
 
 
 def prepare_training_corpus(
@@ -85,11 +92,19 @@ def prepare_training_corpus(
     ``config.split_weights`` is set).
     """
     annotated = with_text_stats(df, text_col, repetition=True)
+    # repetition fractions are NULL for docs too short to define them
+    # (< 5 tokens); NULL must PASS the cut — otherwise `NULL <= max` is
+    # NULL and where() would silently drop short docs the configured
+    # min_tokens gate meant to keep
     cond = (
         (F.col("n_tokens") >= config.min_tokens)
         & (F.col("quality_score") >= config.min_quality)
-        & (F.col("top2gram_char_frac") <= config.max_top2gram_frac)
-        & (F.col("dup5gram_char_frac") <= config.max_dup5gram_frac)
+        & F.coalesce(
+            F.col("top2gram_char_frac") <= config.max_top2gram_frac, F.lit(True)
+        )
+        & F.coalesce(
+            F.col("dup5gram_char_frac") <= config.max_dup5gram_frac, F.lit(True)
+        )
     )
     if config.langs is not None:
         cond = cond & F.col("lang_guess").isin(*config.langs)
@@ -106,9 +121,7 @@ def prepare_training_corpus(
         bands=config.minhash_bands,
         shingle_k=config.minhash_shingle_k,
         jaccard_threshold=config.minhash_threshold,
-        # a few-file input would otherwise compute every signature in a
-        # handful of tasks
-        spread_partitions=df.sparkSession.sparkContext.defaultParallelism,
+        spread_partitions=config.spread_partitions,
     )
     deduped = dedup_survivors_from_pairs(exact, pairs, id_col)
 

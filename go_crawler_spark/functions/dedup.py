@@ -330,6 +330,11 @@ def duplicate_ngram_spans(
             F.xxhash64("_g").alias("_h1"),
             F.xxhash64("_g", F.lit(1)).alias("_h2"),
         )
+        # two consumers (the dup-count aggregate and the semi-join probe)
+        # would otherwise each re-run scan+tokenize+window+hash from the
+        # source; the lazy localCheckpoint makes the window stage run
+        # once (same pattern as minhash_near_dups' prepared frame)
+        .localCheckpoint(eager=False)
     )
     dups = (
         hashed.groupBy("_h1", "_h2")

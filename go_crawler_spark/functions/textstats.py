@@ -336,7 +336,7 @@ def with_text_stats(
     per feature.
 
     ``repetition=True`` additionally attaches the Gopher repetition
-    fractions (:func:`repetition_cols`; NULL for documents too short to
+    fractions (:func:`_with_repetition`; NULL for documents too short to
     define them).
     """
     out = df.withColumn("_toks", tokens_col(text_col))

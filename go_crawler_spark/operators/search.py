@@ -253,6 +253,11 @@ def phrase_match(toks: Column, q_tokens: list[str]) -> tuple[Column, Column]:
     from go_crawler_spark.functions.textstats import kgrams_col
 
     m = len(q_tokens)
+    if m == 0:
+        # an empty analyzed phrase matches nothing (ES match_none
+        # semantics) — pinned explicitly: the positional formulations
+        # disagree on this edge (per-slice compare matched everything)
+        return F.lit(False), F.lit(0)
     n = F.size(toks)
     phrase = F.lit(" ".join(q_tokens))
     # cheap conjunctive guard first: a positional match implies every

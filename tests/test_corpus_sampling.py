@@ -129,3 +129,14 @@ def test_prepare_training_corpus_split_and_lang(spark, documents):
                           split_weights=None)
     n_en = prepare_training_corpus(documents, cfg_en)["corpus"].count()
     assert n_en <= n
+
+
+def test_short_docs_survive_when_min_tokens_allows(spark):
+    """Repetition fractions are NULL below 5 tokens; NULL must PASS the
+    Gopher cuts so min_tokens stays the only length gate."""
+    rows = [(1, "tiny doc here"), (2, " ".join(f"w{j}" for j in range(20)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = CorpusConfig(min_tokens=3, min_quality=0.0, split_weights=None)
+    ids = sorted(r.doc_id for r in prepare_training_corpus(df, cfg)["corpus"]
+                 .select("doc_id").collect())
+    assert ids == [1, 2]

@@ -234,3 +234,15 @@ def test_resume_after_rank_preserves_scores(spark, tmp_path_factory):
     c2.run(resume=True)  # drained crawl: resumes and immediately re-drains
     docs = c2.read_documents()
     assert docs.where(F.col("pagerank").isNotNull()).count() == docs.count()
+
+
+def test_phrase_match_empty_query_matches_nothing(spark):
+    """An empty analyzed phrase is match_none (pinned: the old per-slice
+    formulation matched every document)."""
+    from go_crawler_spark.operators.search import phrase_match
+    from go_crawler_spark.functions.textstats import tokens_col
+
+    matched, occ = phrase_match(tokens_col("text"), [])
+    df = spark.createDataFrame([("some text",)], ["text"])
+    row = df.select(matched.alias("m"), occ.alias("o")).first()
+    assert row.m is False and row.o == 0
