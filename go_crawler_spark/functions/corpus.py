@@ -78,6 +78,31 @@ class CorpusConfig:
     spread_partitions: int | None = None
 
 
+def quality_condition(config: CorpusConfig) -> "F.Column":
+    """The quality-gate predicate over ``with_text_stats(repetition=True)``
+    columns — shared by the batch funnel and the streaming gate so the
+    two can never drift.
+
+    Repetition fractions are NULL for docs too short to define them
+    (< 5 tokens); NULL must PASS the cut — otherwise ``NULL <= max`` is
+    NULL and ``where()`` would silently drop short docs the configured
+    ``min_tokens`` gate meant to keep.
+    """
+    cond = (
+        (F.col("n_tokens") >= config.min_tokens)
+        & (F.col("quality_score") >= config.min_quality)
+        & F.coalesce(
+            F.col("top2gram_char_frac") <= config.max_top2gram_frac, F.lit(True)
+        )
+        & F.coalesce(
+            F.col("dup5gram_char_frac") <= config.max_dup5gram_frac, F.lit(True)
+        )
+    )
+    if config.langs is not None:
+        cond = cond & F.col("lang_guess").isin(*config.langs)
+    return cond
+
+
 def prepare_training_corpus(
     df: DataFrame,
     config: CorpusConfig = CorpusConfig(),
@@ -92,23 +117,7 @@ def prepare_training_corpus(
     ``config.split_weights`` is set).
     """
     annotated = with_text_stats(df, text_col, repetition=True)
-    # repetition fractions are NULL for docs too short to define them
-    # (< 5 tokens); NULL must PASS the cut — otherwise `NULL <= max` is
-    # NULL and where() would silently drop short docs the configured
-    # min_tokens gate meant to keep
-    cond = (
-        (F.col("n_tokens") >= config.min_tokens)
-        & (F.col("quality_score") >= config.min_quality)
-        & F.coalesce(
-            F.col("top2gram_char_frac") <= config.max_top2gram_frac, F.lit(True)
-        )
-        & F.coalesce(
-            F.col("dup5gram_char_frac") <= config.max_dup5gram_frac, F.lit(True)
-        )
-    )
-    if config.langs is not None:
-        cond = cond & F.col("lang_guess").isin(*config.langs)
-    filtered = annotated.where(cond).select(*df.columns)
+    filtered = annotated.where(quality_condition(config)).select(*df.columns)
 
     exact = exact_dedup(filtered, text_col, id_col)
     if config.persist_intermediate:

@@ -1,0 +1,70 @@
+"""Streaming corpus preparation: the streamable prefix of
+``functions/corpus.prepare_training_corpus`` on a document stream.
+
+What streams and what cannot — stated explicitly, because the split is
+the design:
+
+* **quality gate + Gopher repetition cuts + hash split** — stateless
+  pure-Column expressions, identical plans to batch (the predicate is
+  literally ``corpus.quality_condition``), applied per micro-batch;
+* **exact dedup** — bounded state: ``dropDuplicates`` on the same
+  128-bit text hash as ``dedup.exact_dedup``, optionally watermarked so
+  state expires.  First-arrival wins (a stream has no global min-id
+  view; under one delivery order this equals the batch survivor set by
+  hash);
+* **MinHash near-dup** — deliberately NOT here: banded LSH is a
+  self-join across the whole corpus.  Run the batch funnel's near-dup
+  stage periodically over the accumulated table, the same cadence
+  pattern as the reference's hourly ranker pass
+  (service/ranker/ranker.go:123-126).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from go_crawler_spark.functions import sampling
+from go_crawler_spark.functions.corpus import CorpusConfig, quality_condition
+from go_crawler_spark.functions.textstats import with_text_stats
+
+
+def streaming_quality_gate(
+    docs_stream: DataFrame,
+    config: CorpusConfig = CorpusConfig(),
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality + repetition gate on a streaming documents frame —
+    stateless, so it composes with any downstream sink/trigger.  Keeps
+    the input schema."""
+    annotated = with_text_stats(docs_stream, text_col, repetition=True)
+    return annotated.where(quality_condition(config)).select(*docs_stream.columns)
+
+
+def streaming_corpus_prepare(
+    docs_stream: DataFrame,
+    config: CorpusConfig = CorpusConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Gate -> exact dedup -> split, streaming end-to-end.
+
+    ``watermark=(ts_col, delay)`` bounds the dedup state (documents
+    arriving later than ``delay`` past the watermark may re-admit a
+    hash); ``None`` keeps state for the life of the query — correct, but
+    unbounded, so only for finite backfills.
+    """
+    gated = streaming_quality_gate(docs_stream, config, text_col)
+    hashed = gated.withColumn("_h1", F.xxhash64(F.col(text_col))).withColumn(
+        "_h2", F.xxhash64(F.col(text_col), F.lit(1))
+    )
+    if watermark is not None:
+        ts_col, delay = watermark
+        hashed = hashed.withWatermark(ts_col, delay)
+    deduped = hashed.dropDuplicates(["_h1", "_h2"]).drop("_h1", "_h2")
+    if config.split_weights:
+        deduped = deduped.withColumn(
+            "split", sampling.split_col(config.split_weights, id_col, config.seed)
+        )
+    return deduped

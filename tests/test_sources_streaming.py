@@ -174,3 +174,46 @@ def test_warc_parser_resyncs_after_malformed_record(tmp_path):
     # both good trailing records recovered; the malformed ones cost themselves
     assert got[0] == "http://a.test/"
     assert got.count("http://b.test/") == 2
+
+
+def test_streaming_corpus_prepare_matches_batch(spark, tmp_path):
+    """The streamable funnel prefix (gate -> exact dedup -> split) over
+    a multi-file document stream yields the same survivor TEXT set as
+    the batch stages (stream keeps first-arrival per 128-bit hash; batch
+    keeps min-id — same hashes either way) and identical split
+    assignment (subset-stable hash split)."""
+    import pyspark.sql.functions as F
+
+    from go_crawler_spark.functions.corpus import CorpusConfig, prepare_training_corpus
+    from go_crawler_spark.functions.dedup import exact_dedup
+    from go_crawler_spark.streaming.corpus import streaming_corpus_prepare
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(src)
+
+    cfg = CorpusConfig(min_tokens=5, min_quality=0.0,
+                       split_weights={"train": 0.9, "val": 0.1})
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_corpus_prepare(stream, cfg)
+    q = (out.writeStream.format("memory").queryName("corpus_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("corpus_stream")
+
+    batch = prepare_training_corpus(docs, cfg)
+    batch_exact = exact_dedup(batch["filtered"])
+    want_hashes = {r.h for r in batch_exact.select(
+        F.xxhash64("text").alias("h")).collect()}
+    got_hashes = {r.h for r in got.select(F.xxhash64("text").alias("h")).collect()}
+    assert got_hashes == want_hashes
+    assert got.count() == batch_exact.count()
+
+    # split assignment is a pure function of (doc_id, seed): streamed
+    # rows agree with the batch split wherever the same doc_id survived
+    batch_split = {r.doc_id: r.split for r in batch["corpus"]
+                   .select("doc_id", "split").collect()}
+    for r in got.select("doc_id", "split").collect():
+        if r.doc_id in batch_split:
+            assert batch_split[r.doc_id] == r.split
