@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 from go_crawler_spark.functions import sampling
@@ -78,7 +78,7 @@ class CorpusConfig:
     spread_partitions: int | None = None
 
 
-def quality_condition(config: CorpusConfig) -> "F.Column":
+def quality_condition(config: CorpusConfig) -> Column:
     """The quality-gate predicate over ``with_text_stats(repetition=True)``
     columns — shared by the batch funnel and the streaming gate so the
     two can never drift.

@@ -33,6 +33,16 @@ from go_crawler_spark.functions.textstats import shingles_col, tokens_col
 # ---------------------------------------------------------------------------
 
 
+def text_hash_cols(text_col: Column | str) -> tuple[Column, Column]:
+    """The canonical 128-bit exact-identity key: two independent
+    ``xxhash64`` values of the text.  THE single definition — batch
+    exact dedup, duplicate-group reporting, and streaming dedup all key
+    on this pair, so equivalence between them is structural, not
+    copy-discipline."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.xxhash64(c), F.xxhash64(c, F.lit(1))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative of every byte-identical text.
 
@@ -41,11 +51,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (birthday bound ~ C(n,2)/2^64) and each would silently drop a unique
     document; 128 bits pushes that to ~2^-128 per pair while the shuffle
     still carries only (hashes, id) — never the text."""
-    w = df.select(
-        F.xxhash64(F.col(text_col)).alias("_h1"),
-        F.xxhash64(F.col(text_col), F.lit(1)).alias("_h2"),
-        F.col(id_col),
-    )
+    h1, h2 = text_hash_cols(text_col)
+    w = df.select(h1.alias("_h1"), h2.alias("_h2"), F.col(id_col))
     keep = w.groupBy("_h1", "_h2").agg(F.min(id_col).alias(id_col))
     return df.join(keep, id_col, "left_semi")
 
@@ -53,11 +60,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(text_hash, n_dups, min_id) for groups with >1 member (same
     double-hash grouping as exact_dedup; text_hash reports the first)."""
+    h1, h2 = text_hash_cols(text_col)
     return (
-        df.groupBy(
-            F.xxhash64(F.col(text_col)).alias("text_hash"),
-            F.xxhash64(F.col(text_col), F.lit(1)).alias("_h2"),
-        )
+        df.groupBy(h1.alias("text_hash"), h2.alias("_h2"))
         .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("min_id"))
         .where(F.col("n_dups") > 1)
         .drop("_h2")

@@ -7,11 +7,12 @@ the design:
 * **quality gate + Gopher repetition cuts + hash split** — stateless
   pure-Column expressions, identical plans to batch (the predicate is
   literally ``corpus.quality_condition``), applied per micro-batch;
-* **exact dedup** — bounded state: ``dropDuplicates`` on the same
-  128-bit text hash as ``dedup.exact_dedup``, optionally watermarked so
-  state expires.  First-arrival wins (a stream has no global min-id
-  view; under one delivery order this equals the batch survivor set by
-  hash);
+* **exact dedup** — bounded state: ``dropDuplicatesWithinWatermark`` on
+  the same 128-bit text-hash pair as ``dedup.exact_dedup``
+  (``dedup.text_hash_cols``, one shared definition), so state expires
+  with the watermark.  First-arrival wins (a stream has no global
+  min-id view; under one delivery order this equals the batch survivor
+  set by hash);
 * **MinHash near-dup** — deliberately NOT here: banded LSH is a
   self-join across the whole corpus.  Run the batch funnel's near-dup
   stage periodically over the accumulated table, the same cadence
@@ -26,6 +27,7 @@ import pyspark.sql.functions as F
 
 from go_crawler_spark.functions import sampling
 from go_crawler_spark.functions.corpus import CorpusConfig, quality_condition
+from go_crawler_spark.functions.dedup import text_hash_cols
 from go_crawler_spark.functions.textstats import with_text_stats
 
 
@@ -50,19 +52,27 @@ def streaming_corpus_prepare(
 ) -> DataFrame:
     """Gate -> exact dedup -> split, streaming end-to-end.
 
-    ``watermark=(ts_col, delay)`` bounds the dedup state (documents
-    arriving later than ``delay`` past the watermark may re-admit a
-    hash); ``None`` keeps state for the life of the query — correct, but
-    unbounded, so only for finite backfills.
+    ``watermark=(ts_col, delay)`` bounds the dedup state via
+    ``dropDuplicatesWithinWatermark``: state for a hash is evicted once
+    the watermark passes its event time + delay, after which a
+    re-arrival of the same text is re-admitted.  (A plain watermarked
+    ``dropDuplicates`` on the hash subset would NOT bound state — Spark
+    only evicts dedup state when the event-time column is among the
+    dedup keys — and would silently drop late documents instead of
+    deduping them.)  ``None`` keeps state for the life of the query —
+    exact, but unbounded, so only for finite backfills.
     """
     gated = streaming_quality_gate(docs_stream, config, text_col)
-    hashed = gated.withColumn("_h1", F.xxhash64(F.col(text_col))).withColumn(
-        "_h2", F.xxhash64(F.col(text_col), F.lit(1))
-    )
+    h1, h2 = text_hash_cols(text_col)
+    hashed = gated.withColumn("_h1", h1).withColumn("_h2", h2)
     if watermark is not None:
         ts_col, delay = watermark
-        hashed = hashed.withWatermark(ts_col, delay)
-    deduped = hashed.dropDuplicates(["_h1", "_h2"]).drop("_h1", "_h2")
+        deduped = hashed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            ["_h1", "_h2"]
+        )
+    else:
+        deduped = hashed.dropDuplicates(["_h1", "_h2"])
+    deduped = deduped.drop("_h1", "_h2")
     if config.split_weights:
         deduped = deduped.withColumn(
             "split", sampling.split_col(config.split_weights, id_col, config.seed)

@@ -9,16 +9,26 @@ well-formed documents never exercises.
 
 import random
 import re
+from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
 
 from go_crawler_spark.functions import dedup, textstats
 
-_WORDS = ["a", "bb", "ccc", "dd", "e", "ümlaut", "ставка", "x9", "longword"]
+_WORDS = ["a", "bb", "ccc", "dd", "e", "ümlaut", "ставка", "x9", "longword",
+          "snake_case"]
 
 
 def _tokenize(text: str) -> list[str]:
-    return [t for t in re.split(r"[^\w]+", text.lower(), flags=re.UNICODE) if t]
+    # [\W_]+ = the product tokenizer's [^\p{L}\p{N}]+: \w alone would
+    # keep '_' inside tokens where Spark treats it as a separator
+    return [t for t in re.split(r"[\W_]+", text.lower(), flags=re.UNICODE) if t]
+
+
+def _round6(x: float) -> float:
+    # Spark's F.round is HALF_UP on the double's decimal repr; Python's
+    # round() is banker's HALF_EVEN — a latent flake on exact halves
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
 
 
 def _corpus(seed: int = 7, n_docs: int = 60) -> list[tuple[int, str]]:
@@ -62,7 +72,7 @@ def _py_repetition(text: str, top_n: int = 2, dup_n: int = 5):
     c2, c5 = counts(top_n), counts(dup_n)
     top = max(cnt * len(g) for g, cnt in c2.items())
     dup = sum(cnt * len(g) for g, cnt in c5.items() if cnt >= 2)
-    return round(top / nc, 6), round(dup / nc, 6)
+    return _round6(top / nc), _round6(dup / nc)
 
 
 def _py_spans(rows, n=4, min_count=2):

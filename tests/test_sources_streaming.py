@@ -217,3 +217,35 @@ def test_streaming_corpus_prepare_matches_batch(spark, tmp_path):
     for r in got.select("doc_id", "split").collect():
         if r.doc_id in batch_split:
             assert batch_split[r.doc_id] == r.split
+
+
+def test_streaming_corpus_watermarked_dedup(spark, tmp_path):
+    """The watermark path (dropDuplicatesWithinWatermark) yields the
+    same survivor hash set as the unbounded path when nothing is late,
+    while keeping dedup state evictable."""
+    import pyspark.sql.functions as F
+
+    from go_crawler_spark.functions.corpus import CorpusConfig
+    from go_crawler_spark.functions.dedup import exact_dedup
+    from go_crawler_spark.functions.corpus import prepare_training_corpus
+    from go_crawler_spark.streaming.corpus import streaming_corpus_prepare
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                        + F.make_interval(secs=F.col("doc_id"))))
+    src = str(tmp_path / "docs_wm")
+    docs.repartition(2).write.parquet(src)
+
+    cfg = CorpusConfig(min_tokens=5, min_quality=0.0, split_weights=None)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_corpus_prepare(stream, cfg, watermark=("ts", "1 hour"))
+    q = (out.writeStream.format("memory").queryName("corpus_wm")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("corpus_wm")
+
+    batch = exact_dedup(prepare_training_corpus(docs, cfg)["filtered"])
+    want = {r.h for r in batch.select(F.xxhash64("text").alias("h")).collect()}
+    have = {r.h for r in got.select(F.xxhash64("text").alias("h")).collect()}
+    assert have == want
