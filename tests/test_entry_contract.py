@@ -55,6 +55,19 @@ def test_query_matches_oracle(spark, ddb, name):
     oracle_rows = odf.to_dict("records")
     assert len(spark_rows) == len(oracle_rows), f"{name}: row count"
     assert _normalize(spark_rows, cols) == _normalize(oracle_rows, cols), name
+    # a 0-row == 0-row "match" proves nothing (the vacuous-entry trap
+    # flagged in two consecutive verdicts) — every entry must exercise
+    # real rows at every sf
+    assert len(spark_rows) > 0, f"{name}: vacuous check (0 rows at {SF})"
+
+
+def test_rows_only_entries_not_vacuous(spark):
+    """Entries without a SQL oracle get a weaker driver check; lock at
+    least non-vacuity here."""
+    oracled = set(entry_mod.oracle_sql())
+    for name, q in entry_mod.queries().items():
+        if name not in oracled:
+            assert q(spark, SF).count() > 0, f"{name}: 0 rows at {SF}"
 
 
 def test_entry_smoke(spark):
