@@ -175,13 +175,25 @@ def robots_filter(selected: DataFrame, robots: DataFrame | None) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
+# RFC 9309 §2.4 allows imposing parse limits (Google caps robots.txt at
+# 500 KiB).  A hostile body with e.g. 100k Disallow lines would bloat
+# the broadcast dimension AND multiply robots_filter's per-URL prefix
+# scan (the filter evaluates the URL path once per rule element) — cap
+# the rules a single host can impose on the crawler.
+MAX_ROBOTS_RULES = 1000
+
+
+def parse_robots_txt(
+    text: str, user_agent: str = "*", max_rules: int = MAX_ROBOTS_RULES
+) -> list[str]:
     """Disallow prefixes for ``user_agent`` from a robots.txt body.
 
     RFC 9309-lite, matching ``robots_filter``'s prefix-drop semantics:
     groups are opened by one or more ``User-agent`` lines; the most
     specific group wins (an exact/substring agent match beats ``*``);
-    empty ``Disallow:`` means allow-all and contributes nothing.
+    empty ``Disallow:`` means allow-all and contributes nothing.  At
+    most ``max_rules`` prefixes are returned (hostile-input bound; the
+    FIRST rules win, matching top-down authoring convention).
     """
     ua = user_agent.lower()
     groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
@@ -224,7 +236,7 @@ def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
         if "*" in g_agents:
             wildcard = g_dis if wildcard is None else wildcard + g_dis
     out = specific if specific is not None else (wildcard or [])
-    return out
+    return out[:max_rules]
 
 
 def robots_table(spark, bodies: list[tuple[str, str]], user_agent: str = "*"):

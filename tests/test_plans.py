@@ -273,3 +273,20 @@ def test_duplicate_spans_plan_shape(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Python" not in p and "ArrowEval" not in p, p[:500]
     assert "LeftSemi" in p, p[:500]
+
+
+def test_robots_rule_cap_bounds_hostile_bodies():
+    """A hostile robots.txt cannot impose unbounded rules (broadcast
+    bloat + per-URL prefix-scan multiplication in robots_filter)."""
+    from go_crawler_spark.operators.frontier import (
+        MAX_ROBOTS_RULES,
+        parse_robots_txt,
+    )
+
+    body = "User-agent: *\n" + "\n".join(
+        f"Disallow: /p{i}" for i in range(MAX_ROBOTS_RULES * 3)
+    )
+    rules = parse_robots_txt(body)
+    assert len(rules) == MAX_ROBOTS_RULES
+    assert rules[0] == "/p0"          # first rules win
+    assert parse_robots_txt(body, max_rules=10) == [f"/p{i}" for i in range(10)]
