@@ -784,6 +784,48 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_ngram_spans(d, n=_SPANS_N).orderBy("doc_id", "span_start")
 
 
+_CONTAM_N = 13
+_CONTAM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    cw AS (SELECT doc_id, i AS pos,
+                  array_to_string(tk[i:i+{_CONTAM_N - 1}], ' ') AS gram
+           FROM t, unnest(generate_series(1, len(tk)-{_CONTAM_N - 1})) AS u(i)
+           WHERE doc_id % 2 != 0),
+    bw AS (SELECT DISTINCT array_to_string(tk[i:i+{_CONTAM_N - 1}], ' ') AS gram
+           FROM t, unnest(generate_series(1, len(tk)-{_CONTAM_N - 1})) AS u(i)
+           WHERE doc_id % 2 = 0),
+    h AS (SELECT cw.doc_id, cw.pos FROM cw SEMI JOIN bw USING (gram)),
+    m AS (SELECT doc_id, pos,
+            CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {_CONTAM_N}
+                 THEN 0 ELSE 1 END AS newgrp
+          FROM h),
+    g AS (SELECT doc_id, pos,
+            sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m)
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos)+{_CONTAM_N - 1} AS span_end,
+           max(pos)+{_CONTAM_N - 1}-min(pos)+1 AS span_len
+    FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+@_q("contamination_spans", _CONTAM_ORACLE)
+def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C 13-gram rule,
+    functions/dedup.contaminated_spans): even doc_ids act as the
+    held-out benchmark, odd ids as the training corpus; output is every
+    maximal corpus span sharing a 13-token window with the benchmark —
+    the ranges cut_duplicate_spans would remove before training."""
+    from go_crawler_spark.functions.dedup import contaminated_spans
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 2 == 0)
+    corpus = d.where(F.col("doc_id") % 2 != 0)
+    return contaminated_spans(corpus, bench, n=_CONTAM_N).orderBy(
+        "doc_id", "span_start"
+    )
+
+
 _SPANS_CUT_ORACLE = f"""
     WITH {_SPANS_CTES},
     sp AS (SELECT doc_id, min(pos) AS s, max(pos)+{_SPANS_N - 1} AS e

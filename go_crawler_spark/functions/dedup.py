@@ -316,8 +316,31 @@ def duplicate_ngram_spans(
     total, each on a key Catalyst can reason about; no pairwise
     comparison and no suffix array materialization anywhere.
     """
-    from pyspark.sql import Window
+    hashed = _window_hashes(df, text_col, id_col, n, toks)
+    dups = (
+        hashed.groupBy("_h1", "_h2")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h1", "_h2")
+    )
+    hits = hashed.join(dups, ["_h1", "_h2"], "left_semi").select("id", "pos")
+    return _merge_hit_spans(hits, n, id_col)
 
+
+def _window_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    toks: Column | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """``(id, pos, _h1, _h2)`` — the 128-bit hash of every n-token
+    window (1-based ``pos``).  The shared window stage of exact
+    substring dedup and benchmark decontamination.  ``checkpoint``
+    (lazy localCheckpoint) makes multi-consumer plans run the expensive
+    scan+tokenize+window+hash stage once (same pattern as
+    ``minhash_near_dups``' prepared frame)."""
     t = tokens_col(text_col) if toks is None else toks
     base = df.select(F.col(id_col).alias("id"), t.alias("_t"))
     nt = F.size(F.col("_t"))
@@ -335,19 +358,15 @@ def duplicate_ngram_spans(
             F.xxhash64("_g").alias("_h1"),
             F.xxhash64("_g", F.lit(1)).alias("_h2"),
         )
-        # two consumers (the dup-count aggregate and the semi-join probe)
-        # would otherwise each re-run scan+tokenize+window+hash from the
-        # source; the lazy localCheckpoint makes the window stage run
-        # once (same pattern as minhash_near_dups' prepared frame)
-        .localCheckpoint(eager=False)
     )
-    dups = (
-        hashed.groupBy("_h1", "_h2")
-        .agg(F.count("*").alias("_c"))
-        .where(F.col("_c") >= min_count)
-        .select("_h1", "_h2")
-    )
-    hits = hashed.join(dups, ["_h1", "_h2"], "left_semi").select("id", "pos")
+    return hashed.localCheckpoint(eager=False) if checkpoint else hashed
+
+
+def _merge_hit_spans(hits: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Merge duplicated window start positions ``(id, pos)`` into
+    maximal ``(id_col, span_start, span_end, span_len)`` spans — one
+    ``(id)``-partitioned window over hit positions only."""
+    from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy("pos")
     prev_max = F.max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -369,6 +388,42 @@ def duplicate_ngram_spans(
         "span_end",
         (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
     )
+
+
+def contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM n-gram
+    overlap rule): maximal spans of corpus documents whose n-token
+    windows appear ANYWHERE in ``benchmark`` — the ranges to cut (via
+    :func:`cut_duplicate_spans`) or to flag a document for removal
+    before training on data the eval set leaked into.
+
+    Default ``n=13`` follows GPT-3's 13-gram filter.  Scale shape: the
+    benchmark side reduces to DISTINCT 128-bit window hashes (tiny next
+    to the corpus — a few eval suites vs 10^10 documents), the corpus
+    windows left-semi join against it (AQE broadcasts the small side),
+    and the interval merge touches hit positions only.  The window
+    stage is NOT checkpointed here — each side has exactly one
+    consumer.
+    """
+    corpus_w = _window_hashes(df, text_col, id_col, n, checkpoint=False)
+    # the benchmark needs no id column — only its distinct window hashes
+    bench = benchmark.withColumn("__bid", F.lit(0))
+    bench_w = (
+        _window_hashes(
+            bench, bench_text_col or text_col, "__bid", n, checkpoint=False
+        )
+        .select("_h1", "_h2")
+        .distinct()
+    )
+    hits = corpus_w.join(bench_w, ["_h1", "_h2"], "left_semi").select("id", "pos")
+    return _merge_hit_spans(hits, n, id_col)
 
 
 def cut_duplicate_spans(

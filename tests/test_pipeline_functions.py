@@ -570,3 +570,35 @@ def test_cut_duplicate_spans_known_case(spark):
     assert got["C"] == ("u v w", 0)
     # D: windows "p q r","q r p","r p q","p q r" -> all positions dup
     assert got["D"] == ("", 6)
+
+
+def test_contaminated_spans_known_case(spark):
+    """GPT-3-style decontamination: only windows present in the
+    benchmark mark spans; within-corpus duplication alone does not."""
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "a b c d e f g h"),    # tokens 2-5 leak from benchmark
+            ("c2", "x y z w v u"),        # clean
+            ("c3", "p q r s p q r s"),    # repeated internally, not in bench
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("b1", "zz b c d e qq"), ("b2", "irrelevant words only")],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in dedup.contaminated_spans(corpus, bench, n=4).collect()
+    )
+    # bench 4-gram "b c d e" occurs at corpus c1 pos 2 -> span [2,5]
+    assert got == [("c1", 2, 5, 4)]
+    # composing with the cut step removes exactly the leaked range
+    cut = {
+        r.doc_id: (r.clean_text, r.n_cut_tokens)
+        for r in dedup.cut_duplicate_spans(
+            corpus, dedup.contaminated_spans(corpus, bench, n=4)
+        ).collect()
+    }
+    assert cut["c1"] == ("a f g h", 4)
+    assert cut["c2"] == ("x y z w v u", 0)
