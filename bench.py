@@ -168,6 +168,7 @@ def main() -> None:
         "knn_join_exact",
         "user_sessions",
         "duplicate_spans",
+        "contamination_spans",
         "repetition_stats",
         "corpus_prepared",
         "text_quality_stats",
