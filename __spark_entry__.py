@@ -1098,6 +1098,67 @@ def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = (
+    r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"
+)
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_PII_ORACLE = f"""
+    WITH spiked AS (
+      SELECT doc_id,
+             concat(text, ' contact user', doc_id, '@mail', doc_id % 7,
+                    '.com or ', '10.', doc_id % 200, '.0.', doc_id % 255,
+                    ' ssn 123-45-', lpad((doc_id % 10000)::VARCHAR, 4, '0'))
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '{_PII_EMAIL}', '<EMAIL>', 'g'),
+        '{_PII_IPV4}', '<IP>', 'g'),
+        '{_PII_SSN}', '<SSN>', 'g') AS redacted_text,
+      len(regexp_extract_all(text, '{_PII_EMAIL}')) AS email_count,
+      len(regexp_extract_all(text, '{_PII_IPV4}')) AS ipv4_count,
+      len(regexp_extract_all(text, '{_PII_SSN}')) AS ssn_count,
+      len(regexp_extract_all(text, '{_PII_EMAIL}'))
+        + len(regexp_extract_all(text, '{_PII_IPV4}'))
+        + len(regexp_extract_all(text, '{_PII_SSN}')) AS n_redacted
+    FROM spiked ORDER BY doc_id
+"""
+
+
+@_q("pii_scrubbed", _PII_ORACLE)
+def pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/scrub.scrub_documents): email / IPv4 /
+    SSN-pattern matches replaced by category tokens, with per-category
+    counts.  The synthetic corpus contains no organic PII, so the entry
+    deterministically spikes each document with PII derived from its
+    doc_id — identical expressions on both sides — so the oracle
+    certifies actual redaction behavior, not an all-zero pass.  Regex
+    patterns restrict to syntax with identical Java/RE2 semantics."""
+    from go_crawler_spark.functions.scrub import scrub_documents
+
+    d = _read(spark, sf_dir, "documents")
+    spiked = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com or 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 255).cast("string"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_documents(spiked).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators: rows-only checks (no oracle entry)
 # ---------------------------------------------------------------------------

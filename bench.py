@@ -171,6 +171,7 @@ def main() -> None:
         "contamination_spans",
         "repetition_stats",
         "corpus_prepared",
+        "pii_scrubbed",
         "text_quality_stats",
         "search_bm25_ranked",
         "search_phrase_ranked",

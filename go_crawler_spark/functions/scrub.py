@@ -1,0 +1,77 @@
+"""PII scrubbing for web-text corpora.
+
+Privacy redaction is a first-class stage of published webtext pipelines
+(C4 removed pages on blocklists; CCNet/RefinedWeb-style cleaning redacts
+contact details before training).  Pure ``regexp_replace`` /
+``regexp_count`` Column expressions — JVM-side, whole-stage-codegen'd,
+zero shuffle, linear at 100 TB.
+
+The patterns deliberately use only syntax with IDENTICAL semantics in
+Java regex (Spark) and RE2 (DuckDB, for the oracle): explicit ASCII
+character classes, bounded repetition, ``\\b`` word boundaries — no
+lookaround (RE2 has none), no bare ``\\w``/``\\d`` shorthand ambiguity
+beyond ASCII.  Recall-oriented conservative patterns: a redactor must
+never mangle ordinary prose, so each pattern anchors on structure
+(@-domain, dotted quad, SSN grouping) rather than fuzzy heuristics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+# pattern -> replacement token.  Order matters: emails first (an email
+# can contain digits that a later pattern might nibble at).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ipv4",
+        r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b",
+        "<IP>",
+    ),
+    (
+        "ssn",
+        r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+        "<SSN>",
+    ),
+]
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category match counts (``{name}_count`` Columns)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        f"{name}_count": F.regexp_count(c, F.lit(pat))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """The text with every PII match replaced by its category token."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def scrub_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, redacted_text, email_count, ipv4_count, ssn_count,
+    n_redacted)`` for every document — counts from the ORIGINAL text,
+    redaction applied in pattern order."""
+    counts = pii_counts(text_col)
+    total = None
+    for col in counts.values():
+        total = col if total is None else total + col
+    return df.select(
+        F.col(id_col),
+        redact_pii(text_col).alias("redacted_text"),
+        *[c.alias(name) for name, c in counts.items()],
+        total.alias("n_redacted"),
+    )

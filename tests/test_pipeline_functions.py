@@ -602,3 +602,30 @@ def test_contaminated_spans_known_case(spark):
     }
     assert cut["c1"] == ("a f g h", 4)
     assert cut["c2"] == ("x y z w v u", 0)
+
+
+def test_pii_scrub_known_cases(spark):
+    from go_crawler_spark.functions import scrub
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org thanks"),
+        (2, "server 192.168.1.254 and 8.8.8.8 are up"),
+        (3, "ssn 123-45-6789 but not 1234-56-789 or 123-456-789"),
+        (4, "no pii here, just 300.1.2.3 (invalid octet) and a@b"),
+        (5, "combo a.b@c.io at 10.0.0.1 ssn 000-00-0000"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in scrub.scrub_documents(df).collect()}
+    assert got[1].redacted_text == "mail me at <EMAIL> thanks"
+    assert (got[1].email_count, got[1].n_redacted) == (1, 1)
+    assert got[2].redacted_text == "server <IP> and <IP> are up"
+    assert got[2].ipv4_count == 2
+    assert got[3].redacted_text == "ssn <SSN> but not 1234-56-789 or 123-456-789"
+    assert got[3].ssn_count == 1
+    # 300.1.2.3: 300 is not a valid octet -> "30" + "0.1.2.3"? No: \b(...)
+    # requires a full dotted quad of valid octets starting at a word
+    # boundary, so nothing matches; a@b has no TLD
+    assert got[4].n_redacted == 0
+    assert got[4].redacted_text == rows[3][1]
+    assert got[5].redacted_text == "combo <EMAIL> at <IP> ssn <SSN>"
+    assert got[5].n_redacted == 3
