@@ -48,6 +48,15 @@ class CorpusConfig:
     table A1) cuts documents whose most frequent 2-gram covers > 0.20 of
     characters or whose duplicate 5-grams cover > 0.15; the quality and
     length gates use this package's ``quality_score`` scale.
+
+    Known divergence: ``dup5gram_char_frac`` counts count*len over EVERY
+    occurrence of a duplicated 5-gram (overlapping occurrences each
+    contribute their full length, so the fraction can exceed 1.0),
+    which is STRICTER than the Gopher/DataTrove definition (each covered
+    character counted once).  The oracle and tests encode the same rule,
+    so the engine is internally consistent, but highly repetitive
+    documents are cut slightly more aggressively than by the published
+    filter.  See ``textstats.repetition_stats``.
     """
 
     min_tokens: int = 10

@@ -90,10 +90,15 @@ def minhash_from_hashes(hashed_shingles: Column, num_hashes: int = 64) -> Column
 
     ONE streaming ``aggregate`` over the shingle hashes updates all
     ``num_hashes`` permutation minima per element (the simhash-vote
-    shape): the input array is a DIRECT child, evaluated once per row,
-    and no lambda body references an outer expression — so the cost
-    stays O(m x num_hashes) even if the optimizer inlines this
-    expression into a filter or another projection.  (The previous
+    shape): the input array is a DIRECT child, evaluated once per row.
+    The merge lambda DOES reference the outer ``salts`` column — the
+    O(m x num_hashes) cost guarantee therefore relies on ``salts``
+    being a foldable literal ``sequence(lit, lit)`` that Catalyst
+    constant-folds to an array literal BEFORE HOF evaluation (a literal
+    re-"evaluated" per element is free).  Any edit that makes the salt
+    expression non-foldable (e.g. deriving it from a column) would
+    silently reintroduce the per-element re-evaluation hazard described
+    in ``kgrams_col`` — keep salts a literal.  (The previous
     formulation — one ``transform`` per permutation — re-evaluated the
     shingle-hash array ``num_hashes`` times per row whenever it was not
     behind a checkpoint barrier; see ``kgrams_col`` for the general

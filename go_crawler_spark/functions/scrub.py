@@ -64,7 +64,16 @@ def scrub_documents(
 ) -> DataFrame:
     """``(id, redacted_text, email_count, ipv4_count, ssn_count,
     n_redacted)`` for every document — counts from the ORIGINAL text,
-    redaction applied in pattern order."""
+    redaction applied in pattern order.
+
+    ``n_redacted`` is the sum of PER-CATEGORY match totals over the
+    original text, NOT a count of replacement operations: redaction is
+    sequential, so a span matched by two categories (e.g. the dotted
+    quad inside ``a@1.2.3.4.com`` matching both email and ipv4) counts
+    once per category here but is replaced only once.  Per-category
+    counts are the audit-friendly statistic (how much of each PII class
+    the corpus carried); callers needing exact replacement counts should
+    diff the text lengths."""
     counts = pii_counts(text_col)
     total = None
     for col in counts.values():

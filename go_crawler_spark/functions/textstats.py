@@ -295,6 +295,15 @@ def repetition_stats(
       ``dup_n``-grams occurring more than once (every occurrence
       counted), over total document characters.
 
+    Divergence from Gopher/DataTrove: the dup fraction sums count*len
+    over every occurrence, so characters covered by two overlapping
+    duplicated grams are counted twice and the fraction can exceed 1.0
+    — stricter than the published filter, which counts each covered
+    character once (merged intervals).  This engine's oracle and
+    corpus-funnel thresholds encode the occurrence-sum rule, so results
+    are internally consistent; see ``corpus.CorpusConfig`` for the
+    downstream effect.
+
     Documents with fewer than ``dup_n`` tokens are dropped (no gram of
     either size is defined for them).  Both fractions are rounded to 6
     decimals.  Ties on the top gram cannot affect the output (the max is

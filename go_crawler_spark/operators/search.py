@@ -258,6 +258,15 @@ def phrase_match(toks: Column, q_tokens: list[str]) -> tuple[Column, Column]:
         # semantics) — pinned explicitly: the positional formulations
         # disagree on this edge (per-slice compare matched everything)
         return F.lit(False), F.lit(0)
+    # Bijectivity guard: the space-joined m-gram comparison is only
+    # sound when no token can itself contain a space (true for the
+    # package tokenizer); an external caller passing q_tokens=['a b']
+    # would otherwise false-match the distinct sequence ['a','b'].
+    if any(" " in t for t in q_tokens):
+        raise ValueError(
+            "phrase_match query tokens must not contain spaces "
+            f"(got {q_tokens!r}) — pass analyzer output, not raw phrases"
+        )
     n = F.size(toks)
     phrase = F.lit(" ".join(q_tokens))
     # cheap conjunctive guard first: a positional match implies every
