@@ -7,9 +7,12 @@ indexer/store/es/es.go:163-189) issues an ES ``multi_match`` over
 and ES's ``_score`` is Lucene BM25.  The engine-core equivalent, all
 JVM-side:
 
-* ``match`` — every query token must appear in the title OR in the text
-  (field-local conjunction, ES ``best_fields`` + AND semantics);
-  relevance = the better field's score under ``relevance=``:
+* ``match`` — term combination per ``operator=``: ``"or"`` is ES
+  `multi_match best_fields` parity (es.go:169-184 uses the ES DEFAULT
+  operator — OR: a doc matches if ANY analyzed token matches in either
+  field); ``"and"`` (this engine's default) is the stricter field-local
+  conjunction (ES ``operator: and``).  Relevance = the better field's
+  score under ``relevance=``:
   - ``"bm25"`` (default, ES parity): Lucene BM25 —
     ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with
     ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))``; a rare-term match
@@ -49,17 +52,22 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def _field_tf(toks: Column, q_tokens: list[str]) -> tuple[Column, Column]:
-    """(all_tokens_present, summed term frequency) for one field."""
+def _field_tf(
+    toks: Column, q_tokens: list[str], operator: str = "and"
+) -> tuple[Column, Column]:
+    """(tokens_present, summed term frequency) for one field.
+
+    ``operator="and"``: every token must appear; ``"or"``: any token
+    suffices (ES ``match`` default operator)."""
     n = F.size(toks)
 
     def eq(t: str):  # NB one-param lambda: a 2-param form becomes (elem, idx)
         return lambda x: x == F.lit(t)
 
     counts = [F.size(F.filter(toks, eq(t))) for t in q_tokens]
-    matched = F.lit(True)
+    matched = F.lit(True) if operator == "and" else F.lit(False)
     for c in counts:
-        matched = matched & (c > 0)
+        matched = (matched & (c > 0)) if operator == "and" else (matched | (c > 0))
     total = None
     for c in counts:
         total = c if total is None else total + c
@@ -211,9 +219,17 @@ def _field_bm25(
     fld: str,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    operator: str = "and",
 ) -> tuple[Column, Column]:
-    """(all_tokens_present, BM25 score) for one field, reading the
-    corpus-stats columns that ``corpus_stats`` broadcast onto the row."""
+    """(tokens_present, BM25 score) for one field, reading the
+    corpus-stats columns that ``corpus_stats`` broadcast onto the row.
+
+    ``operator="or"`` is the ES/Lucene default: the field matches if ANY
+    query term appears, and the score is the sum over the MATCHING
+    terms' BM25 contributions (an absent term has tf=0 and contributes
+    exactly 0, so the sum needs no special-casing).  ``"and"`` requires
+    every term (ES ``operator: and`` / ``minimum_should_match: 100%``).
+    """
     dl = F.size(toks).cast("double")
     avgdl = F.greatest(F.col(f"bm25_avgdl_{fld}"), F.lit(1e-9))
     n_docs = F.col("bm25_n").cast("double")
@@ -221,7 +237,8 @@ def _field_bm25(
     def eq(t: str):  # NB one-param lambda: a 2-param form becomes (elem, idx)
         return lambda x: x == F.lit(t)
 
-    matched = dl > 0
+    conj = operator == "and"
+    matched = dl > 0 if conj else F.lit(False)
     score = F.lit(0.0)
     for i, t in enumerate(q_tokens):
         tf = F.size(F.filter(toks, eq(t))).cast("double")
@@ -231,8 +248,9 @@ def _field_bm25(
         norm = (tf * F.lit(k1 + 1.0)) / (
             tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
         )
-        matched = matched & (tf > 0)
+        matched = (matched & (tf > 0)) if conj else (matched | (tf > 0))
         score = score + idf * norm
+    matched = matched & (dl > 0)
     return matched, F.when(matched, score).otherwise(0.0)
 
 
@@ -294,7 +312,17 @@ def search(
     scoring: str = "pagerank",
     relevance: str = "bm25",
     stats: DataFrame | None = None,
+    operator: str = "and",
 ) -> DataFrame:
+    """See module docstring.  ``operator`` selects the term-combination
+    rule for ``match`` mode: ``"and"`` (this engine's stricter default —
+    every analyzed token must appear in the matching field) or ``"or"``
+    (the ES `multi_match best_fields` DEFAULT operator, es.go:169-184:
+    a document matches if ANY analyzed token matches, scored as the max
+    over fields of the sum of the matching terms' per-term BM25).  For
+    exact reference parity pass ``operator="or"``."""
+    if operator not in ("and", "or"):
+        raise ValueError(f"unknown operator {operator!r} (and | or)")
     # ES's analyzer tokenizes the query the same way as the fields; a
     # phrase query is its token sequence, not a raw substring.  Split on
     # [\W_]+ — exactly the complement of tokens_col's [\p{L}\p{N}] token
@@ -322,11 +350,15 @@ def search(
                 )
         documents = documents.crossJoin(F.broadcast(stats))
         if text_col in fields:
-            text_ok, text_s = _field_bm25(tokens_col(text_col), q_tokens, text_col)
+            text_ok, text_s = _field_bm25(
+                tokens_col(text_col), q_tokens, text_col, operator=operator
+            )
         else:
             text_ok, text_s = F.lit(False), F.lit(0.0)
         if title_col in fields:
-            title_ok, title_s = _field_bm25(tokens_col(title_col), q_tokens, title_col)
+            title_ok, title_s = _field_bm25(
+                tokens_col(title_col), q_tokens, title_col, operator=operator
+            )
         else:
             title_ok, title_s = F.lit(False), F.lit(0.0)
         # best_fields: candidate if either field holds every token; the
@@ -334,9 +366,9 @@ def search(
         matched = text_ok | title_ok
         score = F.greatest(text_s, title_s)
     else:
-        text_ok, text_tf = _field_tf(tokens_col(text_col), q_tokens)
+        text_ok, text_tf = _field_tf(tokens_col(text_col), q_tokens, operator)
         if title_col in documents.columns:
-            title_ok, title_tf = _field_tf(tokens_col(title_col), q_tokens)
+            title_ok, title_tf = _field_tf(tokens_col(title_col), q_tokens, operator)
         else:
             title_ok, title_tf = F.lit(False), F.lit(0.0)
         matched = text_ok | title_ok

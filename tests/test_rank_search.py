@@ -64,6 +64,35 @@ def test_search_conjunction_semantics(spark, ranked_crawler):
     assert hits == []
 
 
+def test_search_or_vs_and_operator(spark):
+    """Pins the AND/OR operator difference (ES `multi_match best_fields`
+    defaults to OR, es.go:169-184): under OR a single-term doc matches
+    and ranks below a both-terms doc; under AND it is filtered out."""
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.test/", "t", "alpha beta common words here", 0.0),
+            (2, "http://b.test/", "t", "alpha only in this document", 0.0),
+            (3, "http://c.test/", "t", "nothing relevant at all", 0.0),
+        ],
+        "url_hash long, url string, title string, text string, pagerank double",
+    )
+    q = "alpha beta"
+    and_hits = search(docs, q, size=10, scoring="function_score").collect()
+    or_hits = search(
+        docs, q, size=10, scoring="function_score", operator="or"
+    ).collect()
+    assert [r.url_hash for r in and_hits] == [1]  # conjunction drops doc 2
+    # OR: both docs match; the both-terms doc outranks the single-term doc
+    assert [r.url_hash for r in or_hits] == [1, 2]
+    assert or_hits[0].score > or_hits[1].score > 0
+    # the both-terms doc scores identically under either operator (the
+    # matching-terms sum is the same when every term matches)
+    assert and_hits[0].score == pytest.approx(or_hits[0].score)
+    # tf relevance path honors the operator too
+    or_tf = search(docs, q, size=10, relevance="tf", operator="or").collect()
+    assert {r.url_hash for r in or_tf} == {1, 2}
+
+
 def test_search_tf_orders_full_matches(spark):
     """Two all-token matches must order by term frequency, not url_hash
     (the real relevance signal — VERDICT r1 item 7)."""
