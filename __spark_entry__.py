@@ -1282,6 +1282,72 @@ def search_bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "search_or_ranked",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                         '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    st AS (
+      SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl,
+             sum(CASE WHEN list_contains(t, 'dup') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             sum(CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df1
+      FROM tk
+    )
+    SELECT doc_id, round(
+        ln(1 + (n - df0 + 0.5)/(df0 + 0.5))
+          * (tf0*2.2)/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+      + ln(1 + (n - df1 + 0.5)/(df1 + 0.5))
+          * (tf1*2.2)/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl)), 6) AS score,
+        (tf0 > 0 AND tf1 > 0) AS both_terms
+    FROM (
+      SELECT doc_id, len(t)::DOUBLE AS dl,
+             len(list_filter(t, x -> x = 'dup'))::DOUBLE AS tf0,
+             len(list_filter(t, x -> x = 'join'))::DOUBLE AS tf1
+      FROM tk
+    ) CROSS JOIN st
+    WHERE (tf0 > 0 OR tf1 > 0) AND dl > 0
+    ORDER BY score DESC, doc_id LIMIT 25
+    """,
+)
+def search_or_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `multi_match best_fields` DEFAULT-operator parity (es.go:169-184
+    — the ES default operator is OR): a document matches if ANY analyzed
+    query token matches; relevance = the sum of the MATCHING terms'
+    per-term BM25 (absent terms contribute tf=0 → exactly 0).  The query
+    pairs a rare term ('dup', df≈25) with a common one ('join', df≈394)
+    so the top-25 demonstrably contains single-term docs ranked below
+    both-term docs — the behavior the conjunctive default suppresses
+    (``both_terms`` column carries the evidence into the oracle hash).
+    """
+    from go_crawler_spark.operators.search import _field_bm25, corpus_stats
+    from go_crawler_spark.functions.textstats import tokens_col
+
+    d = _read(spark, sf_dir, "documents")
+    stats = corpus_stats(d, ["dup", "join"], ["text"])
+    matched, s = _field_bm25(
+        tokens_col("text"), ["dup", "join"], "text", operator="or"
+    )
+    toks = tokens_col("text")
+    both = (
+        F.size(F.filter(toks, lambda x: x == F.lit("dup"))) > 0
+    ) & (F.size(F.filter(toks, lambda x: x == F.lit("join"))) > 0)
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .where(matched)
+        .select(
+            "doc_id",
+            F.round(s, 6).alias("score"),
+            both.alias("both_terms"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(25)
+    )
+
+
+@_q(
     "search_phrase_ranked",
     r"""
     WITH tk AS (
