@@ -40,14 +40,27 @@ def _sf_name() -> str:
 
 
 def _ensure_corpus(spark, n_pages: int) -> str:
-    """Deterministic synthetic pages corpus, cached as parquet."""
+    """Deterministic synthetic pages corpus, cached as parquet.
+
+    Written with a FIXED wide partition count and small row groups: the
+    cache is shared by every bench/scaling child (4-core and 16-core
+    alike), and a corpus written by a narrow session produces a handful
+    of ~300 MB files whose 128 MB row groups each decode in ONE task —
+    the event-log profile showed those single-hot-task scans gating the
+    seed/cache-materialization stages at the wide level (med 0.2 s /
+    max 8 s tasks).  64 files x 16 MB row groups scan evenly at any
+    parallelism in play.
+    """
     from go_crawler_spark.fixtures import synth_pages
 
     path = os.path.join(CACHE_DIR, f"pages_n{n_pages}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        synth_pages(spark, n_pages, n_hosts=200, skew=0.4, out_links=10).write.mode(
-            "overwrite"
+        synth_pages(
+            spark, n_pages, n_hosts=200, skew=0.4, out_links=10,
+            num_partitions=64,
+        ).write.mode("overwrite").option(
+            "parquet.block.size", 16 * 1024 * 1024
         ).parquet(path)
     return path
 
@@ -66,6 +79,7 @@ def bench_crawl(
     iters: int = 4,
     steady: bool = False,
     politeness_mode: str = "salted_quota",
+    profile: bool = False,
 ) -> tuple[float, float, list[dict]]:
     """Returns (elapsed_sec, urls_per_sec, per_iteration_metrics).
     urls = fetched + newly deduped; metrics carry the per-phase seconds
@@ -106,6 +120,7 @@ def bench_crawl(
             # skew-free politeness: the bench corpus has a 40% mega-host;
             # a global per-host top-k would single-task it (frontier.py)
             politeness_mode=politeness_mode,
+            profile_phases=profile,
         )
         crawler = Crawler(spark, wh, pages, cfg)
         spark.range(10_000_000).selectExpr("sum(id)").collect()

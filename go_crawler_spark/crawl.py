@@ -100,6 +100,13 @@ class CrawlConfig:
     privnet_dns: dict[str, str] | None = None
     privnet_resolver: "Callable[[str], str | None] | None" = None
     privnet_fail_closed: bool = False
+    # Profiling mode: materialize the intra-iteration lazy checkpoints
+    # eagerly at phase boundaries and record per-sink durations, so the
+    # phase table attributes time to select / extract / each sink /
+    # state_refresh instead of lumping lazily-deferred work into the
+    # next consumer's phase.  Slightly changes job overlap — bench
+    # attribution only, never the production default.
+    profile_phases: bool = False
     seed_priority: float = 1.0
     # child priority = parent_depth decay (priority-ordered frontier)
     priority_decay: float = 0.5
@@ -400,6 +407,55 @@ class Crawler:
             )
         )
 
+    @staticmethod
+    def _refresh_frontier(
+        frontier: DataFrame, marks: DataFrame, new_rows: DataFrame, n_new: int
+    ) -> DataFrame:
+        """Next iteration's hot frontier, O(delta) instead of O(state).
+
+        The hot frontier is already one row per url_hash, so the refresh
+        is an UPDATE of the attempted keys' timestamps plus an APPEND of
+        the newly discovered rows — not a re-aggregation of the whole
+        state.  The previous formulation (``_reconcile_frontier`` over
+        frontier ∪ marks ∪ new) re-shuffled the ENTIRE frontier — url and
+        host strings included — every iteration: O(state) string bytes
+        through the exchange, the dominant non-scaling byte stream at a
+        10^10-row frontier.  This path shuffles only the slim marks
+        (url_hash + two timestamps) for their per-key max, joins them
+        against the frontier checkpoint (exchange-free on the frontier
+        side when its HashPartitioning(url_hash) is reported — true in
+        the recrawl steady state, where the previous refresh's join
+        preserved it), and unions the new rows.
+
+        Semantics vs the groupBy reconcile: identical for the normal
+        path (marks only touch existing keys; new_rows keys are exactly
+        anti-joined against the frontier by ``filter_unseen``).  The one
+        divergence is the stale-Bloom resume corner where a seen URL can
+        re-enter ``new_rows`` as a Bloom false-negative: the reconcile
+        MERGED such a duplicate (bumping priority), this path DROPS it
+        via the same anti-join the normal discovery path applies — the
+        disk appends still record it, and the disk reconcile absorbs it.
+        """
+        upd = marks.groupBy("url_hash").agg(
+            F.max("retrieved_at").alias("_r"),
+            F.max("last_attempt").alias("_a"),
+        )
+        merged = frontier.join(upd, "url_hash", "left").select(
+            "url_hash",
+            "url",
+            "host",
+            "priority",
+            "discovered_iter",
+            F.greatest("retrieved_at", "_r").alias("retrieved_at"),
+            F.greatest("last_attempt", "_a").alias("last_attempt"),
+        )
+        if n_new:
+            fresh = new_rows.join(
+                frontier.select("url_hash"), "url_hash", "left_anti"
+            )
+            merged = merged.unionByName(fresh.select(*merged.columns))
+        return merged
+
     def read_frontier(self) -> DataFrame:
         """The reconciled frontier: the hot in-memory copy when the loop
         is running, else reconciled from the appended disk deltas (fresh
@@ -495,8 +551,10 @@ class Crawler:
         # the marks write then all run exchange-free on this slice.
         selected = (
             selected.repartition(self.shuffle_partitions, "url_hash")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=cfg.profile_phases)
         )
+        if cfg.profile_phases:
+            t0 = mark("select", t0)
         attempted = prefetch_filter(
             selected,
             unresolved_private=cfg.privnet_fail_closed,
@@ -659,28 +717,41 @@ class Crawler:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        def timed(tag, fn, *a):
+            def call():
+                ts = time.time()
+                out = fn(*a)
+                if cfg.profile_phases:
+                    phases[tag] = round(time.time() - ts, 3)
+                return out
+
+            return call
+
         snaps = {}
         with ThreadPoolExecutor(max_workers=3) as pool:
-            f_docs = pool.submit(
-                self.lake.append_counted, self.t_documents, docs, self._clustered
-            )
+            f_docs = pool.submit(timed(
+                "sink_docs",
+                self.lake.append_counted, self.t_documents, docs, self._clustered,
+            ))
             # ONE tagged frontier append: attempt-marks + newly discovered
             # URLs in a single job/commit (J1 greatest(retrieved_at)
             # semantics via reconcile); per-tag footer counts = metrics
-            f_delta = pool.submit(
+            f_delta = pool.submit(timed(
+                "sink_frontier",
                 self.lake.append_tagged,
                 self.t_frontier,
                 delta,
                 "_delta",
                 self._clustered,
-            )
+            ))
             # edges + null-dst re-crawl markers (J2 + U2 via reconcile)
-            f_edges = pool.submit(
+            f_edges = pool.submit(timed(
+                "sink_edges",
                 self.lake.append,
                 self.t_edges,
                 new_edges.unionByName(markers),
                 self._clustered,
-            )
+            ))
             snaps["documents"], n_fetched = f_docs.result()
             snaps["frontier"], dcounts = f_delta.result()
             snaps["edges"] = f_edges.result()
@@ -699,14 +770,14 @@ class Crawler:
             # re-fetched before due.
             self._bloom = seen_ops.update_bloom(
                 bloom, new_rows, cfg.bloom_buckets
-            ).localCheckpoint(eager=False)
+            ).localCheckpoint(eager=cfg.profile_phases)
             # stale-but-consistent disk snapshot; rewritten at compaction
             snaps["bloom"] = self.lake.current_snapshot("bloom")
         # Next iteration's hot frontier: reconcile(old ∪ this delta),
         # truncated so lineage stays flat across iterations.
-        self._frontier = self._reconcile_frontier(
-            frontier.unionByName(marks).unionByName(new_rows)
-        ).localCheckpoint(eager=False)
+        self._frontier = self._refresh_frontier(
+            frontier, marks, new_rows, n_new
+        ).localCheckpoint(eager=cfg.profile_phases)
         mark("state_refresh", t_ph)
 
         metrics = {

@@ -162,6 +162,41 @@ def bloom_probe(candidates: DataFrame, bloom: DataFrame, num_buckets: int) -> Da
     )
 
 
+def unseen_keys(
+    candidate_keys: DataFrame,
+    url_seen: DataFrame,
+    bloom: DataFrame | None = None,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """J1 novelty on KEYS ONLY: the subset of ``candidate_keys``
+    (a 1-column ``url_hash`` frame, unique keys) absent from url_seen.
+
+    The slim kernel behind :func:`filter_unseen`: every byte that moves
+    — the Bloom cogroup shuffle, the Arrow round-trip through the
+    pandas probe, and the exact anti-join backstop — is 8-byte hashes,
+    never candidate payload columns.  Callers recover payloads with a
+    semi-join against the (already url_hash-partitioned) candidate
+    frame, which adds no exchange on the fat side.
+
+    With a Bloom filter: definite-new keys bypass the exact join; only
+    Bloom-maybe keys are anti-joined (false-positive-safe backstop).
+    Without: plain LEFT ANTI hash join.
+    """
+    # SHUFFLE_HASH on the seen side: the membership table grows to the
+    # full URL-seen set (10^10 at the north scale) — broadcasting it would
+    # collect it through the driver every iteration.  A shuffle-hash anti
+    # join partitions both sides on url_hash and scales with the cluster.
+    keys = candidate_keys.select("url_hash")
+    seen = url_seen.select("url_hash").hint("SHUFFLE_HASH")
+    if bloom is None:
+        return keys.join(seen, "url_hash", "left_anti")
+    probed = bloom_probe(keys, bloom, num_buckets)
+    definite_new = probed.where(~F.col("bloom_maybe")).drop("bloom_maybe", "bucket")
+    maybe = probed.where(F.col("bloom_maybe")).drop("bloom_maybe", "bucket")
+    survived = maybe.join(seen, "url_hash", "left_anti")
+    return definite_new.unionByName(survived)
+
+
 def filter_unseen(
     candidates: DataFrame,
     url_seen: DataFrame,
@@ -170,19 +205,15 @@ def filter_unseen(
 ) -> DataFrame:
     """J1 novelty: candidates not present in url_seen (key: url_hash).
 
-    With a Bloom filter: definite-new rows bypass the exact join; only
-    Bloom-maybe rows are anti-joined (false-positive-safe backstop).
-    Without: plain LEFT ANTI hash join.
+    Runs the slim :func:`unseen_keys` kernel over the key column, then
+    recovers full candidate rows with a semi-join — when ``candidates``
+    is hash-partitioned on url_hash (the crawl's candidate aggregation
+    is), the fat side joins exchange-free and only 8-byte keys ever
+    transit the Bloom probe / anti-join shuffles.  Duplicate candidate
+    keys are safe: a semi-join keeps every row whose key survives,
+    exactly as the previous direct anti-join did.
     """
-    # SHUFFLE_HASH on the seen side: the membership table grows to the
-    # full URL-seen set (10^10 at the north scale) — broadcasting it would
-    # collect it through the driver every iteration.  A shuffle-hash anti
-    # join partitions both sides on url_hash and scales with the cluster.
-    seen = url_seen.select("url_hash").hint("SHUFFLE_HASH")
-    if bloom is None:
-        return candidates.join(seen, "url_hash", "left_anti")
-    probed = bloom_probe(candidates, bloom, num_buckets)
-    definite_new = probed.where(~F.col("bloom_maybe")).drop("bloom_maybe", "bucket")
-    maybe = probed.where(F.col("bloom_maybe")).drop("bloom_maybe", "bucket")
-    survived = maybe.join(seen, "url_hash", "left_anti")
-    return definite_new.unionByName(survived)
+    fresh = unseen_keys(
+        candidates.select("url_hash"), url_seen, bloom, num_buckets
+    )
+    return candidates.join(fresh.hint("SHUFFLE_HASH"), "url_hash", "left_semi")
