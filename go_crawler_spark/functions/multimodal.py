@@ -3,12 +3,18 @@
 Image/audio/video content rides through the engine as ``binary`` columns
 with a typed metadata struct — the lakehouse-native layout for multimodal
 training data.  The Spark-side plumbing (schemas, batch shapes, mapInPandas
-signatures, partitioning) is real and tested; the actual codecs are NOT
-available in this container, so the decode kernels are deterministic fakes
-gated behind ``fake=True`` / raise ``NotImplementedError`` otherwise.
-Swapping in Pillow/ffmpeg later only replaces the kernel body — the plan
-shape is already the production one (Arrow-batched mapInPandas, no
-per-row Python, metadata pushdown-friendly).
+signatures, partitioning) is real and tested.  Codec coverage is split:
+
+* **PPM (P6) images decode for real** — a numpy-only parser
+  (:func:`decode_ppm`), no Pillow required; ``image_features(fake=False)``
+  runs decode -> grayscale -> nearest-neighbor resize -> phash/entropy
+  end-to-end on real bytes (``synth_media`` emits genuine P6 payloads).
+* Compressed codecs (JPEG/PNG/ffmpeg) are NOT available in this
+  container: those mimes raise ``NotImplementedError`` under
+  ``fake=False``, and ``fake=True`` keeps the deterministic stand-in
+  kernels.  Swapping in Pillow/ffmpeg later only replaces the kernel
+  body — the plan shape is already the production one (Arrow-batched
+  mapInPandas, no per-row Python hot loops, metadata pushdown-friendly).
 """
 
 from __future__ import annotations
@@ -44,8 +50,66 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+PPM_MIME = "image/x-portable-pixmap"
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """RGB uint8 array (h, w, 3) -> binary PPM (P6, maxval 255)."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) rgb array, got {a.shape}")
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> RGB uint8 array (h, w, 3), pure numpy.
+
+    A real decoder for the one image container that needs no codec
+    library: full header parse (whitespace runs + ``#`` comment lines,
+    maxval 1..255), strict length check on the raster.  Compressed
+    formats stay behind the NotImplementedError gate in
+    :func:`image_features`.
+    """
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary PPM (missing P6 magic)")
+    # header = magic + 3 ints (width, height, maxval), tokens separated
+    # by whitespace; '#' starts a comment running to end-of-line
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            nl = buf.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated PPM comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tok = buf[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"bad PPM header token {tok!r}")
+        fields.append(int(tok))
+    w, h, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM maxval {maxval} (expect 1..255)")
+    pos += 1  # exactly ONE whitespace byte separates header and raster
+    need = w * h * 3
+    raster = buf[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(f"PPM raster truncated: want {need}, got {len(raster)}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
 def synth_media(spark, n: int = 100) -> DataFrame:
-    """Deterministic fake media table (seeded bytes)."""
+    """Deterministic fake media table (seeded bytes).
+
+    Image rows carry REAL binary-PPM payloads (seeded rgb pixels,
+    variable small dims) so the ``fake=False`` decode path runs
+    end-to-end on genuine bytes; audio/video payloads stay opaque
+    seeded blobs (their codecs are environment-gated)."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids = b["id"].to_numpy()
@@ -53,14 +117,24 @@ def synth_media(spark, n: int = 100) -> DataFrame:
             for i in ids:
                 rng = np.random.default_rng(42 + int(i))
                 kind = ["image", "audio", "video"][int(i) % 3]
+                if kind == "image":
+                    w, h = 8 + int(i) % 9, 6 + int(i) % 7
+                    payload = encode_ppm(
+                        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    )
+                    mime = PPM_MIME
+                else:
+                    w = h = None
+                    payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+                    mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
                 rows.append(
                     {
                         "media_id": int(i),
                         "kind": kind,
-                        "payload": rng.integers(0, 256, size=256, dtype=np.uint8).tobytes(),
-                        "mime": {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                        "width": 64 + int(i) % 512 if kind != "audio" else None,
-                        "height": 64 + int(i) % 256 if kind != "audio" else None,
+                        "payload": payload,
+                        "mime": mime,
+                        "width": w if kind == "image" else (64 + int(i) % 512 if kind == "video" else None),
+                        "height": h if kind == "image" else (64 + int(i) % 256 if kind == "video" else None),
                         "duration_ms": 1000 + int(i) * 10 if kind != "image" else None,
                     }
                 )
@@ -80,16 +154,67 @@ def _byte_entropy(buf: bytes) -> float:
 def image_features(media: DataFrame, fake: bool = True, thumb_size: int = 8) -> DataFrame:
     """Decode → perceptual-hash → thumbnail, as Arrow-batched mapInPandas.
 
-    ``fake=True`` uses a deterministic stand-in decoder (payload bytes
-    reshaped as a grayscale grid); ``fake=False`` raises — real codecs are
-    not installed in this environment.
+    ``fake=False`` is the REAL path for binary-PPM payloads
+    (:func:`decode_ppm`): grayscale = integer channel mean
+    ``(r+g+b)//3``, nearest-neighbor resize to ``thumb_size²``, phash =
+    bits(pixel > median(thumb)), ``byte_entropy`` over the DECODED
+    grayscale raster (header bytes excluded — the image content, not
+    the container).  Any non-PPM mime under ``fake=False`` raises
+    ``NotImplementedError`` (JPEG/PNG need Pillow/libjpeg, absent in
+    this container).  ``fake=True`` keeps the deterministic stand-in
+    decoder (payload bytes reshaped as a grayscale grid) with entropy
+    over the raw payload.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real image decode requires Pillow/libjpeg, not present in this container"
-        )
-
     cols = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+
+    if not fake:
+
+        def real_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # Arrow-batched; per-image work is whole-array numpy (decode,
+            # grayscale, strided NN resize, median phash, bincount
+            # entropy).  Variable dims make cross-image vectorization
+            # impossible without padding — per-image numpy is the real
+            # shape a Pillow-backed kernel would have too.
+            npix = thumb_size * thumb_size
+            weights = np.uint64(1) << np.arange(min(npix, 64), dtype=np.uint64)
+            ti = np.arange(thumb_size, dtype=np.int64)
+            for b in batches:
+                out = []
+                for mid, mime, payload in zip(
+                    b["media_id"], b["mime"], b["payload"]
+                ):
+                    if mime != PPM_MIME:
+                        raise NotImplementedError(
+                            f"real decode for mime {mime!r} requires "
+                            "Pillow/libjpeg/ffmpeg, not present in this "
+                            "container (only binary PPM decodes natively)"
+                        )
+                    buf = bytes(payload) if payload is not None else b""
+                    rgb = decode_ppm(buf).astype(np.int64)
+                    h, w = rgb.shape[:2]
+                    gray = (rgb.sum(axis=2) // 3).astype(np.uint8)
+                    thumb = gray[(ti * h) // thumb_size][:, (ti * w) // thumb_size]
+                    flat = thumb.ravel()
+                    bits = (flat > np.median(flat))[: len(weights)]
+                    phash = np.int64(
+                        (bits * weights).sum(dtype=np.uint64).astype(np.uint64)
+                    )
+                    counts = np.bincount(gray.ravel(), minlength=256)
+                    p = counts[counts > 0] / gray.size
+                    ent = float(-(p * np.log2(p)).sum())
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "n_bytes": len(buf),
+                            "byte_entropy": ent,
+                            "phash": phash,
+                            "thumb": thumb.tobytes(),
+                        }
+                    )
+                yield pd.DataFrame(out, columns=cols)
+
+        imgs = media.where(F.col("kind") == "image")
+        return imgs.mapInPandas(real_kernel, IMAGE_FEATURES_SCHEMA)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # One numpy pass over the whole Arrow batch — no per-row Python.

@@ -4,6 +4,7 @@ Runs against the driver's sf0.001 testdata (documents/embeddings) plus
 small constructed cases with known answers.
 """
 
+import pandas as pd
 import numpy as np
 import pytest
 import pyspark.sql.functions as F
@@ -270,7 +271,7 @@ def test_multimodal_plumbing(spark):
     feats = multimodal.image_features(media).collect()
     assert len(feats) == 20  # every 3rd row is an image
     for f_ in feats:
-        assert f_.n_bytes == 256 and 0 < f_.byte_entropy <= 8.0
+        assert f_.n_bytes > 0 and 0 < f_.byte_entropy <= 8.0
         assert f_.thumb is not None
     # deterministic: same seed -> same phash
     feats2 = multimodal.image_features(multimodal.synth_media(spark, 60)).collect()
@@ -279,8 +280,83 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(media, every_ms=500)
     assert frames.where(F.col("frame_idx") == 0).count() == frames.select("media_id").distinct().count()
 
-    with pytest.raises(NotImplementedError):
-        multimodal.image_features(media, fake=False)
+    # compressed codecs stay gated: a JPEG payload under fake=False raises
+    jpeg = spark.createDataFrame(
+        pd.DataFrame(
+            [{"media_id": 0, "kind": "image", "payload": b"\xff\xd8\xff",
+              "mime": "image/jpeg", "width": 1, "height": 1, "duration_ms": None}]
+        ),
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+        multimodal.image_features(jpeg, fake=False).collect()
+
+
+def test_ppm_decode_roundtrip_and_errors():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(px)) == px).all()
+    # header comments + multi-whitespace are legal PPM
+    buf = b"P6\n# a comment\n7  5\n# another\n255\n" + px.tobytes()
+    assert (multimodal.decode_ppm(buf) == px).all()
+    with pytest.raises(ValueError, match="P6 magic"):
+        multimodal.decode_ppm(b"P5\n1 1\n255\nx")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_ppm(b"P6\n2 2\n255\n" + b"\0" * 11)
+    with pytest.raises(ValueError, match="maxval"):
+        multimodal.decode_ppm(b"P6\n1 1\n65535\n" + b"\0" * 6)
+
+
+def test_image_features_real_ppm_golden(spark):
+    """Hand-computed golden for the REAL decode path: a 2x2 PPM with
+    grays (20, 100 / 255, 0).  Nearest-neighbor resize to 8x8 repeats
+    each pixel into a 4x4 block; median of the 64 thumb values is 60,
+    so bits = [gray > 60] give phash 0x0F0F0F0FF0F0F0F0; the four
+    equiprobable gray values make the pixel entropy exactly 2 bits."""
+    px = np.array(
+        [[[10, 20, 30], [200, 100, 0]], [[255, 255, 255], [0, 0, 0]]],
+        dtype=np.uint8,
+    )
+    buf = multimodal.encode_ppm(px)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [{"media_id": 7, "kind": "image", "payload": buf,
+              "mime": multimodal.PPM_MIME, "width": 2, "height": 2,
+              "duration_ms": None}]
+        ),
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    [r] = multimodal.image_features(media, fake=False).collect()
+    assert r.media_id == 7
+    assert r.n_bytes == len(buf) == 11 + 12
+    assert r.phash == 0x0F0F0F0FF0F0F0F0
+    assert r.byte_entropy == pytest.approx(2.0)
+    want_thumb = np.repeat(np.repeat(
+        np.array([[20, 100], [255, 0]], dtype=np.uint8), 4, axis=0), 4, axis=1)
+    assert bytes(r.thumb) == want_thumb.tobytes()
+
+
+def test_image_features_real_vs_fake_end_to_end(spark):
+    """fake=False runs end-to-end over synth_media's real PPM payloads
+    (distributed, Arrow-batched) and is deterministic."""
+    media = multimodal.synth_media(spark, 30)
+    real = {r.media_id: r for r in multimodal.image_features(media, fake=False).collect()}
+    assert len(real) == 10
+    # independent scalar reference per image
+    rows = {r.media_id: bytes(r.payload) for r in media.where(F.col("kind") == "image").collect()}
+    for mid, buf in rows.items():
+        rgb = multimodal.decode_ppm(buf).astype(np.int64)
+        h, w = rgb.shape[:2]
+        gray = (rgb.sum(axis=2) // 3).astype(np.uint8)
+        ti = np.arange(8)
+        thumb = gray[(ti * h) // 8][:, (ti * w) // 8]
+        bits = (thumb.ravel() > np.median(thumb))[:64]
+        wts = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        assert real[mid].phash == int(np.int64((bits * wts).sum(dtype=np.uint64)))
+        assert bytes(real[mid].thumb) == thumb.tobytes()
+        c = np.bincount(gray.ravel(), minlength=256)
+        p = c[c > 0] / gray.size
+        assert real[mid].byte_entropy == pytest.approx(float(-(p * np.log2(p)).sum()))
 
 
 def test_multimodal_vectorized_matches_scalar_reference(spark):
