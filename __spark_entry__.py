@@ -1160,36 +1160,108 @@ def pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Non-SQL-expressible operators: rows-only checks (no oracle entry)
+# Hash-based signatures: DuckDB cannot express xxhash64, so these entries
+# run the identical ALGORITHM with a cross-engine md5-prefix hash
+# (dedup.md5_hash64_col) and carry full SQL oracles; the xxhash64
+# production defaults are pinned to the same algorithm by differential
+# pytest (implementation diversity + known cases).
 # ---------------------------------------------------------------------------
 
 
-@_q("dedup_simhash_pairs")
+@_q(
+    "dedup_simhash_pairs",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                         '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    th AS (
+      SELECT tk.doc_id, ('0x' || substr(md5(u.tok), 1, 15))::BIGINT AS h
+      FROM tk, UNNEST(tk.t) AS u(tok)
+      WHERE len(tk.t) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN cnt_set * 2 >= n
+                 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      FROM (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE 0 END) AS cnt_set,
+               count(*) AS n
+        FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit) bits
+        GROUP BY doc_id, bit
+      ) GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs.  No SQL oracle: the 64-bit signature is an
-    xxhash64-based bit vote (not expressible in DuckDB); correctness is
-    verified by IMPLEMENTATION DIVERSITY instead — two independent
-    signature implementations (Arrow/numpy voting vs pure-Column
-    aggregate voting, functions/dedup.simhash_col{,_native}) must agree
-    bit-for-bit on the corpus (pytest), plus known cases + exact
-    all-pairs hamming equivalence."""
-    from go_crawler_spark.functions.dedup import simhash_near_dups
+    """SimHash near-dup pairs, FULL cross-engine oracle: the entry runs
+    the complete pipeline (token bit-vote signature -> pigeonhole
+    banding -> equi-join candidates -> exact hamming verify) with the
+    60-bit md5-prefix hash both Spark and DuckDB compute identically
+    (dedup.md5_hash64_col), so the oracle recomputes signatures and
+    brute-forces all pairs in SQL.  The xxhash64 production default is
+    the SAME algorithm, held to it by implementation diversity
+    (Arrow/numpy vote vs pure-Column vote, bit-for-bit, pytest) and
+    exact all-pairs hamming equivalence tests."""
+    from go_crawler_spark.functions.dedup import md5_hash64_col, simhash_near_dups
+    from go_crawler_spark.functions.textstats import tokens_col
 
-    d = _read(spark, sf_dir, "documents")
-    return simhash_near_dups(
-        d, max_hamming=3,
-        spread_partitions=spark.sparkContext.defaultParallelism,
-    ).orderBy("id_a", "id_b")
+    d = _read(spark, sf_dir, "documents").where(F.size(tokens_col("text")) > 0)
+    return (
+        simhash_near_dups(
+            d, max_hamming=3,
+            spread_partitions=spark.sparkContext.defaultParallelism,
+            hash_fn=md5_hash64_col,
+        )
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
 
 
-@_q("doc_fingerprints")
+@_q(
+    "doc_fingerprints",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                         '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_transform(range(1, len(t) - 3),
+                                      i -> array_to_string(t[i:i+4], ' '))
+                  ELSE [array_to_string(t, ' ')] END AS sh
+      FROM tk
+    )
+    SELECT doc_id,
+           list_min(list_transform(sh,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS fingerprint
+    FROM sh ORDER BY doc_id
+    """,
+)
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle rolling-hash fingerprints (xxhash64-based; rows-only —
-    deterministic, pytest-covered)."""
+    """Shingle min-hash fingerprints, cross-engine oracle via the md5
+    60-bit hash (the oracle rebuilds the 5-gram shingles and the min in
+    SQL); the xxhash64 production default is the same expression with a
+    different hash (textstats.fingerprint_col, determinism + known-case
+    pytest)."""
+    from go_crawler_spark.functions.dedup import md5_hash64_col
     from go_crawler_spark.functions.textstats import fingerprint_col
 
     d = _read(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint_col("text")).orderBy("doc_id")
+    return d.select(
+        "doc_id", fingerprint_col("text", hash_fn=md5_hash64_col)
+    ).orderBy("doc_id")
 
 
 # -- O1 search: tf relevance over a tokenized conjunction match --------------

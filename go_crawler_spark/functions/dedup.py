@@ -596,17 +596,32 @@ def dedup_survivors_from_pairs(
 
 # ---------------------------------------------------------------------------
 # SimHash — TWO independent implementations over the same JVM token hashes
-# (xxhash64).  Their signature equality on any corpus is the operator's
-# oracle (implementation diversity — DuckDB cannot express xxhash64):
+# (xxhash64 default).  Their signature equality on any corpus is the
+# operator's oracle (implementation diversity — DuckDB cannot express
+# xxhash64):
 #   * simhash_col        — JVM hashes + Arrow-batched numpy bit voting
 #   * simhash_col_native — pure Column (aggregate/zip_with bit voting),
 #     zero Python in the plan
+# A third, cross-ENGINE oracle uses ``hash_fn=md5_hash64_col``: a 60-bit
+# md5 prefix both Spark and DuckDB compute identically, making the full
+# simhash/banding/hamming pipeline SQL-checkable (the driver entry); the
+# xxhash64 production default is held to the same algorithm by the
+# dual-implementation differential test.
 # ---------------------------------------------------------------------------
 
 
-def token_hashes_col(toks: Column) -> Column:
+def md5_hash64_col(c: Column) -> Column:
+    """60-bit hash from the md5 hex prefix — the cross-engine hash:
+    DuckDB computes the identical value as
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``.  Slower than xxhash64
+    (full md5 + string slice) — oracle/testing use, not the hot path."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def token_hashes_col(toks: Column, hash_fn=None) -> Column:
     """Per-token 64-bit hashes, JVM-side (no Python hashing anywhere)."""
-    return F.transform(toks, lambda t: F.xxhash64(t))
+    h = hash_fn if hash_fn is not None else F.xxhash64
+    return F.transform(toks, lambda t: h(t))
 
 
 @F.pandas_udf(T.LongType())
@@ -625,17 +640,19 @@ def udf_simhash_votes(hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash_col(text: Column | str) -> Column:
-    return udf_simhash_votes(token_hashes_col(tokens_col(text))).alias("simhash")
+def simhash_col(text: Column | str, hash_fn=None) -> Column:
+    return udf_simhash_votes(
+        token_hashes_col(tokens_col(text), hash_fn)
+    ).alias("simhash")
 
 
-def simhash_col_native(text: Column | str) -> Column:
+def simhash_col_native(text: Column | str, hash_fn=None) -> Column:
     """Pure-Column SimHash: same xxhash64 token hashes, bit voting as one
     ``aggregate`` pass with a 64-wide ``zip_with`` accumulator — the whole
     signature stays inside codegen.  Must equal ``simhash_col`` bit-for-bit
     (vote tie rule ``2*votes >= n``); the differential test holds the two
     implementations to that."""
-    hs = token_hashes_col(tokens_col(text))
+    hs = token_hashes_col(tokens_col(text), hash_fn)
     n = F.size(hs)
     zeros = F.array_repeat(F.lit(0).cast("long"), 64)
     votes = F.aggregate(
@@ -668,6 +685,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     spread_partitions: int | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """Pairs within hamming distance ``max_hamming`` of 64-bit SimHash.
 
@@ -693,9 +711,9 @@ def simhash_near_dups(
         shift += width
     # lazy checkpoint: the signature feeds both sides of the band
     # self-join — without it the pandas bit-vote runs twice per doc
-    sig = df.select(F.col(id_col).alias("id"), simhash_col(text_col)).localCheckpoint(
-        eager=False
-    )
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash_col(text_col, hash_fn)
+    ).localCheckpoint(eager=False)
     pieces = sig.select(
         "id",
         "simhash",

@@ -195,14 +195,20 @@ def shingles_col(text: Column | str, k: int = 5, toks: Column | None = None) -> 
     )
 
 
-def fingerprint_col(text: Column | str, k: int = 5, toks: Column | None = None) -> Column:
+def fingerprint_col(
+    text: Column | str, k: int = 5, toks: Column | None = None, hash_fn=None
+) -> Column:
     """64-bit document fingerprint: min rolling-hash over k-gram shingles.
 
     Equal fingerprints ⇒ very likely near-identical prefix content; used
     as a cheap first-pass cluster key before exact/minhash dedup.
+    ``hash_fn`` defaults to ``F.xxhash64``; pass
+    ``dedup.md5_hash64_col`` for the cross-engine (DuckDB-checkable)
+    variant — same algorithm, different hash.
     """
+    h = hash_fn if hash_fn is not None else F.xxhash64
     sh = shingles_col(text, k, toks=toks)
-    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s))).alias("fingerprint")
+    return F.array_min(F.transform(sh, lambda s: h(s))).alias("fingerprint")
 
 
 # ---------------------------------------------------------------------------
