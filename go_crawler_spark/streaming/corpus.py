@@ -27,7 +27,11 @@ import pyspark.sql.functions as F
 
 from go_crawler_spark.functions import sampling
 from go_crawler_spark.functions.corpus import CorpusConfig, quality_condition
-from go_crawler_spark.functions.dedup import text_hash_cols
+from go_crawler_spark.functions.dedup import (
+    dedup_survivors_from_pairs,
+    minhash_near_dups,
+    text_hash_cols,
+)
 from go_crawler_spark.functions.textstats import with_text_stats
 
 
@@ -78,3 +82,32 @@ def streaming_corpus_prepare(
             "split", sampling.split_col(config.split_weights, id_col, config.seed)
         )
     return deduped
+
+
+def periodic_near_dup_pass(
+    accumulated: DataFrame,
+    config: CorpusConfig = CorpusConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The non-streamable funnel suffix, run at batch cadence over the
+    ACCUMULATED stream survivors (the reference's hourly-ranker cadence
+    pattern, service/ranker/ranker.go:123-126): banded MinHash-LSH
+    near-dup + component-min-id survivor selection.  Composing
+    ``streaming_corpus_prepare`` (gate -> exact dedup -> split, per
+    micro-batch) with this pass over its sink table reproduces the full
+    batch funnel ``prepare_training_corpus(...)["corpus"]`` — the
+    ``split`` column assigned by the stream stays valid because the
+    hash split is subset-stable (a pure function of ``id_col``).  The
+    parity is pinned by test_sources_streaming's composition test."""
+    pairs = minhash_near_dups(
+        accumulated,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=config.minhash_num_hashes,
+        bands=config.minhash_bands,
+        shingle_k=config.minhash_shingle_k,
+        jaccard_threshold=config.minhash_threshold,
+        spread_partitions=config.spread_partitions,
+    )
+    return dedup_survivors_from_pairs(accumulated, pairs, id_col)

@@ -249,3 +249,81 @@ def test_streaming_corpus_watermarked_dedup(spark, tmp_path):
     want = {r.h for r in batch.select(F.xxhash64("text").alias("h")).collect()}
     have = {r.h for r in got.select(F.xxhash64("text").alias("h")).collect()}
     assert have == want
+
+
+def test_stream_plus_periodic_near_dup_equals_batch(spark, tmp_path):
+    """VERDICT r3 item 6: the documented composition — streaming funnel
+    (gate -> exact dedup -> split, per micro-batch) + the PERIODIC batch
+    near-dup pass over its accumulated survivors — must reproduce the
+    full batch funnel end-to-end (prepare_training_corpus "corpus"),
+    row-for-row including split assignment.
+
+    The fixture controls arrival order (exact-duplicate min-ids land in
+    the older file) so the stream's first-arrival-per-hash rule picks
+    the same representatives as batch exact_dedup's min-id rule — the
+    precondition under which the composition is exactly the batch
+    funnel (streaming/corpus.py module docstring)."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from go_crawler_spark.functions.corpus import CorpusConfig, prepare_training_corpus
+    from go_crawler_spark.streaming.corpus import (
+        periodic_near_dup_pass,
+        streaming_corpus_prepare,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog tonight and runs far away home"
+    t3 = "spark structured streaming with watermarks handles late arriving data gracefully at scale"
+    early = [  # file 1: every exact-dup group's min id lives here
+        (1, t1),
+        (2, t1.replace("lazy", "sleepy")),          # near-dup of 1
+        (3, t3),
+        (4, t3.replace("gracefully", "smoothly")),  # near-dup of 3
+        (6, "a completely unrelated document about bucketed lakehouse compaction strategies"),
+        (8, "too short"),                           # fails min_tokens gate
+    ]
+    late = [(10, t1), (11, t3)]                     # exact dups, higher ids
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "compose_src")
+    spark.createDataFrame(early, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+    # pin arrival order: the early file (more rows -> larger) strictly older
+    now = time.time()
+    parts = sorted(
+        (os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")),
+        key=os.path.getsize,
+    )
+    assert len(parts) == 2
+    os.utime(parts[0], (now, now))               # smaller file (late rows): newer
+    os.utime(parts[-1], (now - 100, now - 100))  # larger file (early rows): older
+
+    cfg = CorpusConfig(
+        min_tokens=5, min_quality=0.0,
+        # Gopher gram gates sized for real documents would cut these tiny
+        # fixtures (a unique 2-gram in a 10-token doc covers >20% of its
+        # chars); the gates have their own oracle (repetition_stats)
+        max_top2gram_frac=1.0, max_dup5gram_frac=1.0,
+        minhash_threshold=0.3, minhash_shingle_k=3,
+        split_weights={"train": 0.9, "val": 0.1},
+    )
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (streaming_corpus_prepare(stream, cfg)
+         .writeStream.format("memory").queryName("compose_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    accumulated = spark.table("compose_stream")
+
+    all_docs = spark.createDataFrame(early + late, schema)
+    batch = prepare_training_corpus(all_docs, cfg)["corpus"]
+
+    # precondition holds: stream representatives == batch exact survivors
+    assert {r.doc_id for r in accumulated.collect()} == {1, 2, 3, 4, 6}
+
+    composed = periodic_near_dup_pass(accumulated, cfg)
+    got = sorted((r.doc_id, r.text, r.split) for r in composed.collect())
+    want = sorted((r.doc_id, r.text, r.split) for r in batch.collect())
+    assert got == want and got  # near-dups 2 and 4 removed in both paths
+    assert {g[0] for g in got} == {1, 3, 6}
