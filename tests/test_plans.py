@@ -290,3 +290,35 @@ def test_robots_rule_cap_bounds_hostile_bodies():
     assert len(rules) == MAX_ROBOTS_RULES
     assert rules[0] == "/p0"          # first rules win
     assert parse_robots_txt(body, max_rules=10) == [f"/p{i}" for i in range(10)]
+
+
+def test_filter_unseen_probe_is_keys_only(spark):
+    """The slim novelty kernel (VERDICT r4): every byte through the
+    Bloom probe's Arrow stage is 8-byte hashes — the ArrowEvalPython
+    node's input must not carry the candidates' url/host strings; the
+    fat columns re-enter only via the final left-semi join."""
+    from go_crawler_spark.operators import seen as seen_ops
+
+    cands = spark.createDataFrame(
+        [(i, f"http://h{i%3}.test/p/{i}", f"h{i%3}.test") for i in range(50)],
+        "url_hash long, url string, host string",
+    )
+    url_seen = spark.createDataFrame([(i,) for i in range(0, 50, 2)], "url_hash long")
+    bloom = seen_ops.update_bloom(
+        seen_ops.empty_bloom(spark, num_buckets=4, capacity_per_bucket=100),
+        url_seen, num_buckets=4,
+    )
+
+    out = seen_ops.filter_unseen(cands, url_seen, bloom, num_buckets=4)
+    got = {r.url_hash for r in out.collect()}
+    assert got == set(range(1, 50, 2))  # behavior: odd hashes are unseen
+    assert set(out.columns) == {"url_hash", "url", "host"}  # payload recovered
+
+    plan = plans.formatted_plan(out)
+    probe_lines = [
+        ln for ln in plan.splitlines() if "ArrowEvalPython" in ln or "FlatMapCoGroups" in ln
+    ]
+    assert probe_lines, "bloom probe stage missing from plan"
+    for ln in probe_lines:
+        assert "url#" not in ln and "host#" not in ln, ln
+    assert "LeftSemi" in plan
