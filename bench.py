@@ -189,6 +189,7 @@ def main() -> None:
         "pii_scrubbed",
         "text_quality_stats",
         "search_bm25_ranked",
+        "search_or_ranked",
         "search_phrase_ranked",
         "pagerank_scores",
     ]
