@@ -1542,6 +1542,62 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- SemDeDup: semantic dedup over embedding clusters -----------------------
+
+
+@_q(
+    "semantic_dedup_survivors",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cemb
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          c.cemb::DOUBLE[]), 6) AS cos_c,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     c.cemb::DOUBLE[]), 6)
+                        DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cluster_id, cos_c
+      FROM scored WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b
+        ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+       AND (b.cos_c < a.cos_c
+            OR (b.cos_c = a.cos_c AND b.vec_id < a.vec_id))
+       AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) >= 0.4
+    )
+    SELECT a.vec_id, a.cluster_id, a.cos_c
+    FROM assign a ANTI JOIN dropped d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster
+    embeddings (argmax cosine to a deterministic centroid table), then
+    within each cluster drop every item that has an earlier-in-keep-
+    order neighbor with cosine >= 0.4 (keep-order prefers LOW
+    similarity to centroid — the paper keeps cluster-edge examples).
+    Threshold 0.4 for the same non-vacuity reason as
+    embedding_near_dup_pairs (synthetic embeddings top out near 0.5):
+    at sf0.01 this drops 19 of 500 vectors.  functions/semdedup.py;
+    oracle expresses the identical closed-form rule in SQL."""
+    from go_crawler_spark.functions.semdedup import semantic_dedup
+
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = semantic_dedup(e, num_centroids=8, cosine_threshold=0.4)
+    return out.select("vec_id", "cluster_id", "cos_c").orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

@@ -181,6 +181,7 @@ def main() -> None:
         "dedup_minhash_components",
         "ann_brute_force_topk",
         "knn_join_exact",
+        "semantic_dedup_survivors",
         "user_sessions",
         "duplicate_spans",
         "contamination_spans",

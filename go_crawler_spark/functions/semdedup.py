@@ -1,0 +1,186 @@
+"""SemDeDup-style semantic deduplication (Abbas et al. 2023,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", arXiv:2303.09540).
+
+Beyond-reference LLM-training-data operator: cluster document
+embeddings, then within each cluster flag an item as a semantic
+duplicate when another item of the same cluster is (a) within the
+cosine threshold of it and (b) earlier in the keep-order.  Following
+the paper's released implementation, the keep-order prefers items with
+LOW cosine similarity to their centroid (keep the cluster's "edge"
+examples, drop the interchangeable core), ties broken by id — and the
+duplicate test is against ALL earlier items, not just kept ones (the
+paper's upper-triangular ``max`` over the sorted within-cluster
+similarity matrix), so the rule is closed-form rather than sequential
+and both engines can express it.
+
+Scale shape (LAION-scale per the paper: n ~ 10^10, k ~ 5*10^4):
+
+* cluster assignment — the JVM path here broadcast-cross-joins the
+  centroid table (slim ``(id, cid, cos)`` projection drops the
+  embedding BEFORE the argmax aggregation, so the xC row amplification
+  never carries vector payloads across an exchange; map-side partial
+  ``max_by`` collapses to one row per id pre-shuffle).  Exact-parity
+  path for oracle-checked runs at small C.  At production C (10^4+),
+  use :func:`go_crawler_spark.functions.simsearch.assign_udf` — a
+  zero-shuffle Arrow-batched matmul — and feed the result to
+  :func:`semantic_dedup_assigned`.
+* within-cluster pairwise — one shuffle of (id, cluster, cos_c,
+  embedding) by cluster; the quadratic is bounded per cluster because
+  k grows with n (the paper holds cluster size roughly constant).  A
+  pathological mega-cluster is the same skew problem as the frontier's
+  mega-host: AQE skew-join splits it, or pre-split by salting the
+  cluster id and accepting intra-salt-only dedup within the hot
+  cluster.
+* survivor selection — a left-semi join (dropped ids) + left-anti join
+  back; ids only, no payload amplification.
+
+No counterpart in the Go reference (grep: no embedding/semantic dedup
+anywhere); this module exists for the 100 TB training-corpus story and
+composes with functions/corpus.prepare_training_corpus the same way
+the MinHash pass does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_crawler_spark.functions.dedup import cosine_col
+
+__all__ = [
+    "centroids_by_id",
+    "assign_clusters",
+    "semantic_dedup_assigned",
+    "semantic_dedup",
+]
+
+
+def centroids_by_id(
+    df: DataFrame,
+    num_centroids: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic centroid table: the embeddings of the
+    ``num_centroids`` lowest ids, as ``(cid int, cemb array<double>)``.
+
+    This is the oracle-expressible selection rule (both engines sort by
+    id and take C rows — no RNG, no iteration).  For quality-optimal
+    centroids use :func:`simsearch.train_centroids` (k-means on a
+    deterministic sample) and build the centroid table from its output;
+    the dedup semantics downstream are identical.
+    """
+    w = df.select(
+        F.col(id_col).alias("cid"),
+        F.col(emb_col).cast("array<double>").alias("cemb"),
+    ).orderBy("cid").limit(num_centroids)
+    # tiny by construction (C rows) — safe to materialize as a broadcast
+    return w
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Attach ``(cluster_id, cos_c)`` — argmax-cosine centroid and the
+    (6-decimal-rounded) similarity to it.
+
+    JVM-exact path: cosine in float64 via ``cosine_col`` so the values
+    hash-match DuckDB's ``list_cosine_similarity`` after rounding; ties
+    broken toward the lowest centroid id.  The slim ``(id, cid, cos)``
+    projection drops the embedding before the xC rows reach the
+    ``max_by`` aggregation, and the broadcast keeps all C scores of an
+    id in one partition so partial aggregation collapses them map-side.
+    """
+    scored = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(emb_col).cast("array<double>").alias("_emb"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "_id",
+            "cid",
+            F.round(cosine_col(F.col("_emb"), F.col("cemb")), 6).alias("cos"),
+        )
+    )
+    best = scored.groupBy("_id").agg(
+        F.max_by(
+            F.struct(F.col("cid"), F.col("cos")),
+            # max over (cos asc, -cid asc) == highest cosine, lowest cid
+            F.struct(F.col("cos"), (-F.col("cid")).alias("_nc")),
+        ).alias("_b")
+    )
+    best = best.select(
+        F.col("_id"),
+        F.col("_b.cid").alias("cluster_id"),
+        F.col("_b.cos").alias("cos_c"),
+    )
+    return df.join(best, df[id_col] == best["_id"]).drop("_id")
+
+
+def semantic_dedup_assigned(
+    assigned: DataFrame,
+    cosine_threshold: float = 0.4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    return_dropped: bool = False,
+) -> DataFrame:
+    """Survivors of SemDeDup given rows already carrying
+    ``(cluster_id, cos_c)`` (from :func:`assign_clusters` or the
+    large-C ``assign_udf`` path).
+
+    Drop rule (paper's upper-triangular max): drop ``a`` iff some ``b``
+    in the same cluster has ``cos(a, b) >= threshold`` and ``b``
+    precedes ``a`` in keep-order ``(cos_c ASC, id ASC)`` — i.e. the
+    farthest-from-centroid member of each near-dup group survives.
+    """
+    base = assigned.localCheckpoint(eager=False)  # 3 consumers below
+    cols = ["cluster_id", "cos_c", id_col, emb_col]
+    a = base.select(*cols).alias("a")
+    b = base.select(*cols).alias("b")
+    earlier = (F.col("b.cos_c") < F.col("a.cos_c")) | (
+        (F.col("b.cos_c") == F.col("a.cos_c"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+    )
+    near = (
+        F.round(
+            cosine_col(
+                F.col(f"a.{emb_col}").cast("array<double>"),
+                F.col(f"b.{emb_col}").cast("array<double>"),
+            ),
+            6,
+        )
+        >= cosine_threshold
+    )
+    dropped = a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id")) & earlier & near,
+        "leftsemi",
+    ).select(F.col(f"a.{id_col}").alias(id_col))
+    how = "leftsemi" if return_dropped else "left_anti"
+    return base.join(dropped, id_col, how)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    num_centroids: int = 8,
+    cosine_threshold: float = 0.4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    return_dropped: bool = False,
+) -> DataFrame:
+    """End-to-end SemDeDup: centroid table -> cluster assignment ->
+    within-cluster near-dup drop.  Returns the surviving rows with
+    ``cluster_id`` and ``cos_c`` attached (or the dropped rows when
+    ``return_dropped``)."""
+    if centroids is None:
+        centroids = centroids_by_id(df, num_centroids, emb_col, id_col)
+    assigned = assign_clusters(df, centroids, emb_col, id_col)
+    return semantic_dedup_assigned(
+        assigned, cosine_threshold, emb_col, id_col, return_dropped
+    )

@@ -705,3 +705,99 @@ def test_pii_scrub_known_cases(spark):
     assert got[4].redacted_text == rows[3][1]
     assert got[5].redacted_text == "combo <EMAIL> at <IP> ssn <SSN>"
     assert got[5].n_redacted == 3
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup over embedding clusters)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_known_case(spark):
+    """Hand-checkable golden: exact-dup vectors collapse to one per
+    group, and at a looser threshold the farthest-from-centroid member
+    survives (the paper's keep rule)."""
+    from go_crawler_spark.functions import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]),  # centroid 0
+        (1, [0.0, 1.0]),  # centroid 1
+        (2, [1.0, 0.0]),  # exact dup of 0 -> cluster 0
+        (3, [1.0, 0.0]),  # exact dup of 0 -> cluster 0
+        (4, [0.0, 1.0]),  # exact dup of 1 -> cluster 1
+        (5, [0.8, 0.6]),  # cluster 0 edge member, cos_c = 0.8
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    tight = semdedup.semantic_dedup(df, num_centroids=2, cosine_threshold=0.99)
+    assert {r.vec_id for r in tight.collect()} == {0, 1, 5}
+
+    # tau=0.7 pulls id5 (cos to id0 = 0.8) into the dup group; keep-order
+    # is cos_c ASC so the cluster-edge vector 5 survives and the three
+    # centroid-core copies 0/2/3 are all dropped
+    loose = semdedup.semantic_dedup(df, num_centroids=2, cosine_threshold=0.7)
+    assert {r.vec_id for r in loose.collect()} == {5, 1}
+
+    dropped = semdedup.semantic_dedup(
+        df, num_centroids=2, cosine_threshold=0.7, return_dropped=True
+    )
+    assert {r.vec_id for r in dropped.collect()} == {0, 2, 3, 4}
+
+
+def test_semdedup_threshold_extremes(spark):
+    from go_crawler_spark.functions import semdedup
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = df.count()
+    # threshold above any possible cosine: nothing is a duplicate
+    assert (
+        semdedup.semantic_dedup(df, num_centroids=8, cosine_threshold=1.5).count()
+        == n
+    )
+    # threshold below any possible cosine: every pair qualifies, so only
+    # the first-in-keep-order member of each cluster survives
+    all_dup = semdedup.semantic_dedup(df, num_centroids=8, cosine_threshold=-1.5)
+    per_cluster = {r.cluster_id for r in all_dup.collect()}
+    assert all_dup.count() == len(per_cluster)
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    """Implementation diversity: the Spark plan (broadcast argmax +
+    cluster-keyed semi-join) must reproduce a closed-form numpy
+    evaluation of the same rule on real testdata."""
+    import numpy as np
+
+    from go_crawler_spark.functions import semdedup
+
+    pdf = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = pdf["vec_id"].to_numpy()
+    embs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(embs, axis=1, keepdims=True)
+    unit = embs / np.maximum(norms, 1e-300)
+
+    C, tau = 8, 0.4
+    cents = unit[:C]  # rows already sorted by vec_id
+    cos_to_cents = np.round(unit @ cents.T, 6)
+    cluster = cos_to_cents.argmax(axis=1)  # ties -> lowest cid, as argmax
+    cos_c = cos_to_cents[np.arange(len(ids)), cluster]
+
+    sims = np.round(unit @ unit.T, 6)
+    survivors = set()
+    for i in range(len(ids)):
+        same = (cluster == cluster[i]) & (ids != ids[i])
+        earlier = (cos_c < cos_c[i]) | ((cos_c == cos_c[i]) & (ids < ids[i]))
+        if not np.any(same & earlier & (sims[i] >= tau)):
+            survivors.add(int(ids[i]))
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    got = semdedup.semantic_dedup(df, num_centroids=C, cosine_threshold=tau)
+    assert {r.vec_id for r in got.collect()} == survivors
