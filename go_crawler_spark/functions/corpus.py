@@ -85,6 +85,13 @@ class CorpusConfig:
     # inputs whose signatures would otherwise compute in a handful of
     # tasks.
     spread_partitions: int | None = None
+    # SemDeDup stage (runs only when prepare_training_corpus is given an
+    # embeddings frame): cosine threshold for the within-cluster drop and
+    # the centroid count.  0.4 matches the package's embedding near-dup
+    # threshold for the synthetic testdata; the paper uses ~0.95+ on real
+    # OpenCLIP embeddings.
+    semantic_threshold: float = 0.4
+    semantic_num_centroids: int = 8
 
 
 def quality_condition(config: CorpusConfig) -> Column:
@@ -117,6 +124,9 @@ def prepare_training_corpus(
     config: CorpusConfig = CorpusConfig(),
     text_col: str = "text",
     id_col: str = "doc_id",
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    emb_col: str = "embedding",
 ) -> dict[str, DataFrame]:
     """Run the full preparation funnel; returns the per-stage frames
     ``{"annotated", "filtered", "deduped", "corpus"}`` (all lazy).
@@ -124,6 +134,15 @@ def prepare_training_corpus(
     ``annotated`` carries every stats column; later stages keep the
     original ``df`` schema (plus ``split`` on ``corpus`` when
     ``config.split_weights`` is set).
+
+    When ``embeddings`` is given (``(emb_id_col, emb_col)`` keyed by the
+    same ids as ``df``), a SemDeDup pass (``semdedup.semantic_dedup``)
+    runs AFTER the text-level near-dup stage — the published order:
+    MinHash removes lexical near-copies cheaply, semantic dedup then
+    collapses paraphrases MinHash cannot see — and the result is exposed
+    as a ``"semantic"`` stage feeding the split.  Embeddings for
+    already-dropped docs are pruned by a semi-join first, so the
+    pairwise stage only ever sees surviving ids.
     """
     annotated = with_text_stats(df, text_col, repetition=True)
     filtered = annotated.where(quality_condition(config)).select(*df.columns)
@@ -143,17 +162,38 @@ def prepare_training_corpus(
     )
     deduped = dedup_survivors_from_pairs(exact, pairs, id_col)
 
-    corpus = deduped
-    if config.split_weights:
-        corpus = sampling.hash_split(
-            deduped, config.split_weights, key=id_col, seed=config.seed
-        )
-    return {
+    stages: dict[str, DataFrame] = {
         "annotated": annotated,
         "filtered": filtered,
         "deduped": deduped,
-        "corpus": corpus,
     }
+
+    final = deduped
+    if embeddings is not None:
+        from go_crawler_spark.functions.semdedup import semantic_dedup
+
+        surviving_embs = embeddings.join(
+            deduped.select(F.col(id_col).alias(emb_id_col)),
+            emb_id_col,
+            "leftsemi",
+        )
+        kept_ids = semantic_dedup(
+            surviving_embs,
+            num_centroids=config.semantic_num_centroids,
+            cosine_threshold=config.semantic_threshold,
+            emb_col=emb_col,
+            id_col=emb_id_col,
+        ).select(F.col(emb_id_col).alias(id_col))
+        final = deduped.join(kept_ids, id_col, "leftsemi")
+        stages["semantic"] = final
+
+    corpus = final
+    if config.split_weights:
+        corpus = sampling.hash_split(
+            final, config.split_weights, key=id_col, seed=config.seed
+        )
+    stages["corpus"] = corpus
+    return stages
 
 
 def corpus_report(stages: dict[str, DataFrame]) -> dict[str, int]:

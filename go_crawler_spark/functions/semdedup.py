@@ -43,14 +43,18 @@ the MinHash pass does.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from go_crawler_spark.functions.dedup import cosine_col
 
 __all__ = [
     "centroids_by_id",
     "assign_clusters",
+    "assign_clusters_udf",
     "semantic_dedup_assigned",
     "semantic_dedup",
 ]
@@ -120,6 +124,76 @@ def assign_clusters(
         F.col("_b.cos").alias("cos_c"),
     )
     return df.join(best, df[id_col] == best["_id"]).drop("_id")
+
+
+def assign_clusters_udf(
+    df: DataFrame,
+    centroids: DataFrame | np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Large-C assignment path: attach ``(cluster_id, cos_c)`` via a
+    zero-shuffle Arrow-batched matmul instead of the broadcast cross
+    join.
+
+    At production C (10^4+ centroids, the paper's k ~ 5*10^4) the JVM
+    path's xC row amplification — even payload-free — costs C scored
+    rows per item; a whole-batch ``(n x dim) @ (dim x C)`` matmul costs
+    the same FLOPs with zero intermediate rows and no exchange.  Bitwise
+    parity with :func:`assign_clusters` on the survivor rule: float64
+    accumulation, the same 6-decimal rounding BEFORE the argmax, and
+    argmax's first-max tie-break == lowest centroid id (the centroid
+    table is sorted by cid).  Pinned by
+    test_pipeline_functions.py::test_semdedup_udf_assignment_parity.
+
+    ``centroids``: the ``(cid, cemb)`` table from
+    :func:`centroids_by_id` (collected here — C rows by construction),
+    or a raw ``(C x dim)`` ndarray whose row index is the cluster id
+    (e.g. from ``simsearch.train_centroids``).
+    """
+    if isinstance(centroids, DataFrame):
+        rows = centroids.orderBy("cid").collect()
+        cids = np.asarray([r["cid"] for r in rows], dtype=np.int64)
+        cents = np.stack(
+            [np.asarray(r["cemb"], dtype=np.float64) for r in rows]
+        )
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+        cids = np.arange(len(cents), dtype=np.int64)
+    cnorm = np.linalg.norm(cents, axis=1)
+
+    out_t = T.StructType(
+        [
+            T.StructField("cluster_id", T.LongType()),
+            T.StructField("cos_c", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        mnorm = np.linalg.norm(mat, axis=1)
+        denom = np.outer(mnorm, cnorm)
+        cos = np.divide(
+            mat @ cents.T,
+            denom,
+            out=np.zeros((len(mat), len(cents))),
+            where=denom > 0,
+        )
+        cos = np.round(cos, 6)  # round BEFORE argmax: ties match the JVM rule
+        idx = cos.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster_id": cids[idx],
+                "cos_c": cos[np.arange(len(mat)), idx],
+            }
+        )
+
+    return (
+        df.withColumn("_a", assign(F.col(emb_col)))
+        .select("*", "_a.cluster_id", "_a.cos_c")
+        .drop("_a")
+    )
 
 
 def semantic_dedup_assigned(

@@ -140,3 +140,71 @@ def test_short_docs_survive_when_min_tokens_allows(spark):
     ids = sorted(r.doc_id for r in prepare_training_corpus(df, cfg)["corpus"]
                  .select("doc_id").collect())
     assert ids == [1, 2]
+
+
+def test_prepare_training_corpus_semantic_stage(spark, documents):
+    """With an embeddings frame the funnel gains a SemDeDup stage after
+    the text-level near-dup pass, and its result equals composing
+    semantic_dedup over the deduped survivors by hand."""
+    from go_crawler_spark.functions import semdedup
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cfg = CorpusConfig(min_tokens=5, min_quality=0.0,
+                       semantic_threshold=0.4, semantic_num_centroids=8,
+                       split_weights={"train": 0.9, "val": 0.1})
+    stages = prepare_training_corpus(documents, cfg, embeddings=embs)
+
+    dedup_ids = {r.doc_id for r in stages["deduped"].select("doc_id").collect()}
+    sem_ids = {r.doc_id for r in stages["semantic"].select("doc_id").collect()}
+    assert sem_ids < dedup_ids  # proper subset: the stage is non-vacuous
+
+    manual = semdedup.semantic_dedup(
+        embs.join(stages["deduped"].select(F.col("doc_id").alias("vec_id")),
+                  "vec_id", "leftsemi"),
+        num_centroids=8, cosine_threshold=0.4,
+    )
+    assert sem_ids == {r.vec_id for r in manual.collect()}
+
+    # the split runs over the semantic survivors, schema unchanged + split
+    corpus = stages["corpus"]
+    assert corpus.count() == len(sem_ids)
+    assert set(corpus.columns) == set(documents.columns) | {"split"}
+
+
+def test_semdedup_udf_assignment_parity(spark):
+    """The large-C Arrow matmul assignment path must agree with the JVM
+    broadcast-argmax path — both on (cluster_id, cos_c) per id and on
+    the final survivor set."""
+    from go_crawler_spark.functions import semdedup
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = semdedup.centroids_by_id(df, num_centroids=8)
+
+    jvm = semdedup.assign_clusters(df, cents).select(
+        "vec_id", "cluster_id", "cos_c"
+    )
+    udf = semdedup.assign_clusters_udf(df, cents).select(
+        "vec_id", "cluster_id", "cos_c"
+    )
+    jvm_map = {r.vec_id: (r.cluster_id, round(r.cos_c, 6)) for r in jvm.collect()}
+    udf_map = {r.vec_id: (r.cluster_id, round(r.cos_c, 6)) for r in udf.collect()}
+    assert jvm_map == udf_map
+
+    got = semdedup.semantic_dedup_assigned(
+        semdedup.assign_clusters_udf(df, cents), cosine_threshold=0.4
+    )
+    want = semdedup.semantic_dedup(df, num_centroids=8, cosine_threshold=0.4)
+    assert {r.vec_id for r in got.collect()} == {r.vec_id for r in want.collect()}
+
+    # ndarray centroid input: row index becomes the cluster id
+    import numpy as np
+    cent_rows = cents.orderBy("cid").collect()
+    arr = np.stack([np.asarray(r.cemb) for r in cent_rows])
+    via_arr = semdedup.assign_clusters_udf(df, arr)
+    by_arr = {r.vec_id: r.cluster_id for r in via_arr.collect()}
+    cid_to_idx = {r.cid: i for i, r in enumerate(cent_rows)}
+    assert by_arr == {v: cid_to_idx[c] for v, (c, _) in jvm_map.items()}
