@@ -1542,6 +1542,128 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- bigram LM perplexity (CCNet quality signal) -----------------------------
+
+
+_LM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    pairs AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      FROM t, unnest(generate_series(1, len(tk)-1)) AS u(i)
+    ),
+    big AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+    uni AS (SELECT w1, count(*) AS cu FROM pairs GROUP BY w1),
+    voc AS (SELECT count(DISTINCT u.token) AS v
+            FROM (SELECT unnest(tk) AS token FROM t) u),
+    lp AS (
+      SELECT p.doc_id, ln((b.cb + 0.1) / (u.cu + 0.1 * voc.v)) AS lp
+      FROM pairs p
+      JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+      JOIN uni u ON p.w1 = u.w1
+      CROSS JOIN voc
+    )
+    SELECT t.doc_id,
+           CASE WHEN count(l.lp) > 0 THEN count(l.lp) END AS n_bigrams,
+           round(avg(l.lp), 6) AS logprob,
+           round(exp(-avg(l.lp)), 6) AS perplexity
+    FROM t LEFT JOIN lp l ON t.doc_id = l.doc_id
+    GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+@_q("lm_perplexity_scores", _LM_ORACLE)
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020): per-document
+    bigram perplexity exp(-mean ln p(w2|w1)), add-0.1 smoothed over the
+    corpus vocabulary, with the model trained ON the corpus itself (the
+    in-domain self-score; CCNet trains on a trusted reference corpus —
+    the pipeline shape is identical, only the training input differs).
+    functions/lm.py: both phases pure Column expressions — train is two
+    groupBy counts, score is two equi-joins + one per-doc mean."""
+    from go_crawler_spark.functions import lm
+
+    d = _read(spark, sf_dir, "documents")
+    model = lm.train_bigram_lm(d)
+    return (
+        lm.score_perplexity(d, model, alpha=0.1)
+        .select("doc_id", "n_bigrams", "logprob", "perplexity")
+        .orderBy("doc_id")
+    )
+
+
+# -- CCNet paragraph-level dedup --------------------------------------------
+
+
+@_q(
+    "paragraph_dedup_docs",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               substr(text, 1, 80),
+               'Subscribe to our newsletter today!',
+               text,
+               'copyright ' || CAST(doc_id % 5 AS VARCHAR)
+             ) AS text
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs
+    ),
+    paras AS (
+      SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, parts[u.i] AS para
+      FROM split, unnest(generate_series(1, len(parts))) AS u(i)
+    ),
+    hashed AS (
+      SELECT doc_id, pos, para,
+             CASE WHEN length(regexp_replace(lower(para),
+                                             '[^\\p{L}]+', '', 'g')) > 0
+                  THEN ('0x' || substr(md5(regexp_replace(lower(para),
+                                       '[^\\p{L}]+', '', 'g')), 1, 15))::BIGINT
+             END AS h
+      FROM paras
+    ),
+    flagged AS (
+      SELECT doc_id, pos, para,
+             (h IS NULL OR row_number() OVER (
+                PARTITION BY h ORDER BY doc_id, pos) = 1) AS kept
+      FROM hashed
+    )
+    SELECT doc_id,
+           coalesce(string_agg(para, chr(10) ORDER BY pos)
+                      FILTER (WHERE kept), '') AS text_clean,
+           CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           count(*) AS n_paras
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document paragraph dedup (Wenzek et al. 2020):
+    keep the corpus-wide first occurrence (by (doc_id, pos)) of each
+    normalized paragraph; reassemble docs from survivors.  The testdata
+    documents are single-paragraph, so the entry deterministically
+    builds multi-paragraph pages from each doc — a possibly-shared
+    80-char prefix, a footer identical across ALL docs (the hot
+    boilerplate key the operator's groupBy-min shape exists for), the
+    body, and a 5-way copyright line — with identical expressions on
+    both sides.  functions/dedup.paragraph_dedup with the cross-engine
+    md5-prefix hash (production default xxhash64, same algorithm)."""
+    from go_crawler_spark.functions.dedup import md5_hash64_col, paragraph_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    spiked = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(F.col("text"), 1, 80),
+            F.lit("Subscribe to our newsletter today!"),
+            F.col("text"),
+            F.concat(F.lit("copyright "), (F.col("doc_id") % 5).cast("string")),
+        ).alias("text"),
+    )
+    return paragraph_dedup(spiked, hash_fn=md5_hash64_col).orderBy("doc_id")
+
+
 # -- SemDeDup: semantic dedup over embedding clusters -----------------------
 
 

@@ -182,6 +182,8 @@ def main() -> None:
         "ann_brute_force_topk",
         "knn_join_exact",
         "semantic_dedup_survivors",
+        "paragraph_dedup_docs",
+        "lm_perplexity_scores",
         "user_sessions",
         "duplicate_spans",
         "contamination_spans",

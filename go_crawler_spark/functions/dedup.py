@@ -896,3 +896,77 @@ def embedding_near_dups(
         )
     )
     return verified.where(F.col("cosine") >= cosine_threshold)
+
+
+# -- paragraph-level dedup (CCNet) ------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    hash_fn=None,
+) -> DataFrame:
+    """CCNet-style cross-document paragraph dedup (Wenzek et al. 2020,
+    "CCNet: Extracting high quality monolingual datasets from web crawl
+    data" — their per-shard duplicate-paragraph removal, the step that
+    strips boilerplate headers/footers/nav text repeated across pages).
+
+    Rule: split each document on ``sep``; a paragraph is KEPT iff its
+    normalized form (lowercased, non-letters stripped) is empty —
+    whitespace/markup structure is never dropped — or this occurrence is
+    the corpus-wide first by ``(doc_id, position)``.  Documents are
+    reassembled from surviving paragraphs in original order.  Returns
+    ``(id_col, text_clean, n_removed, n_paras)``.
+
+    Scale shape (the boilerplate paragraph IS the hot key — a footer can
+    appear 10^9 times at 100 TB):
+
+    * winner selection is groupBy(hash).min(struct(id, pos)) — map-side
+      partial aggregation collapses the hot key per-partition BEFORE the
+      exchange, unlike a row_number window which would funnel every
+      occurrence into one partition;
+    * the join back is one-winner-row-per-key, so join output == input
+      row count (no amplification); AQE skew-join splits the probe side
+      of a hot hash if needed;
+    * document reassembly is the only other shuffle (by id).
+
+    No counterpart in the Go reference (its dedup is page-level by URL);
+    this operator exists for the LLM-corpus layer.  Production default
+    ``xxhash64``; pass ``hash_fn=md5_hash64_col`` for cross-engine
+    oracle runs.
+    """
+    h_fn = hash_fn if hash_fn is not None else F.xxhash64
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    )
+    normed = paras.withColumn(
+        "_norm", F.regexp_replace(F.lower(F.col("_para")), r"[^\p{L}]+", "")
+    ).withColumn("_h", F.when(F.length("_norm") > 0, h_fn(F.col("_norm"))))
+    winners = (
+        normed.where(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.min(F.struct("_id", "_pos")).alias("_w"))
+    )
+    tagged = normed.join(winners, "_h", "left").withColumn(
+        "_kept",
+        F.col("_h").isNull()
+        | ((F.col("_w._id") == F.col("_id")) & (F.col("_w._pos") == F.col("_pos"))),
+    )
+    return tagged.groupBy(F.col("_id").alias(id_col)).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_kept"), F.struct("_pos", "_para"))
+                    )
+                ),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.sum(F.when(F.col("_kept"), 0).otherwise(1)).alias("n_removed"),
+        F.count(F.lit(1)).alias("n_paras"),
+    )

@@ -801,3 +801,128 @@ def test_semdedup_matches_numpy_reference(spark):
     )
     got = semdedup.semantic_dedup(df, num_centroids=C, cosine_threshold=tau)
     assert {r.vec_id for r in got.collect()} == survivors
+
+
+# ---------------------------------------------------------------------------
+# CCNet paragraph-level dedup
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_known_case(spark):
+    """Keep-first across the corpus by (doc_id, pos); normalization is
+    case/punctuation-blind; empty paragraphs are structure and never
+    drop."""
+    from go_crawler_spark.functions.dedup import paragraph_dedup
+
+    rows = [
+        (1, "Alpha one\nshared footer\nunique one"),
+        (2, "Beta two\nshared footer\nunique two"),
+        (3, "shared footer\nalpha, ONE!"),  # both match doc 1 normalized
+        (4, "x\n\ny"),                      # empty middle paragraph
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert got[1].text_clean == "Alpha one\nshared footer\nunique one"
+    assert got[1].n_removed == 0 and got[1].n_paras == 3
+    assert got[2].text_clean == "Beta two\nunique two"
+    assert got[2].n_removed == 1
+    assert got[3].text_clean == "" and got[3].n_removed == 2
+    assert got[4].text_clean == "x\n\ny" and got[4].n_removed == 0
+
+
+def test_paragraph_dedup_within_doc_and_hash_parity(spark):
+    """A paragraph repeated inside ONE document dedups too, and the
+    cross-engine md5 hash path keeps the identical survivor set as the
+    xxhash64 production default."""
+    from go_crawler_spark.functions.dedup import md5_hash64_col, paragraph_dedup
+
+    rows = [(1, "same line\nother\nsame line"), (2, "fresh\nsame line")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {1: "same line\nother", 2: "fresh"}
+    for hf in (None, md5_hash64_col):
+        got = {r.doc_id: r.text_clean
+               for r in paragraph_dedup(df, hash_fn=hf).collect()}
+        assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity (CCNet quality signal)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_discriminates_fluent_from_scrambled(spark):
+    """Train on fluent text; a scrambled-bigram doc with the SAME
+    unigrams must score strictly higher perplexity.  A fully
+    out-of-vocabulary doc lands BETWEEN them, exactly at the uniform
+    floor (ppl == V): an unseen context degrades to 1/V, while a SEEN
+    context concentrates its mass on observed continuations, making an
+    unseen continuation rarer than 1/V — the asymmetry that lets the
+    CCNet filter punish shuffled/boilerplate text hardest."""
+    from go_crawler_spark.functions import lm
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat on the rug")
+         for i in range(5)],
+        ["doc_id", "text"],
+    )
+    model = lm.train_bigram_lm(train)
+    target = spark.createDataFrame(
+        [
+            (1, "the cat sat on the rug"),     # in-domain
+            (2, "rug the on cat mat sat the"), # same unigrams, scrambled
+            (3, "zebra quark flux boson"),     # fully out-of-vocab
+            (4, "single"),                     # no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in
+           lm.score_perplexity(target, model).collect()}
+    v = model["vocab"].collect()[0].v
+    assert got[1].perplexity < got[3].perplexity < got[2].perplexity
+    assert got[3].perplexity == float(v)  # uniform floor, exactly
+    assert got[4].perplexity is None and got[4].n_bigrams is None
+
+
+def test_lm_smoothed_conditional_sums_to_one(spark):
+    """Σ_w2 p(w2|w1) over the vocabulary == 1 for a seen context (the
+    add-alpha invariant that makes perplexities comparable)."""
+    import math
+
+    from go_crawler_spark.functions import lm
+
+    train = spark.createDataFrame(
+        [(0, "a b a c a b")], ["doc_id", "text"]
+    )
+    m = lm.train_bigram_lm(train)
+    v = m["vocab"].collect()[0].v
+    uni = {r.w1: r.c for r in m["unigrams"].collect()}
+    big = {(r.w1, r.w2): r.c for r in m["bigrams"].collect()}
+    alpha = 0.1
+    vocab_words = {w for (w1, w2) in big for w in (w1, w2)}
+    assert len(vocab_words) == v
+    for w1 in uni:
+        total = sum(
+            (big.get((w1, w2), 0) + alpha) / (uni[w1] + alpha * v)
+            for w2 in vocab_words
+        )
+        assert math.isclose(total, 1.0, rel_tol=1e-12)
+
+
+def test_lm_buckets_fraction_and_null_policy(spark):
+    from go_crawler_spark.functions import lm
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    model = lm.train_bigram_lm(docs)
+    scored = lm.score_perplexity(docs, model)
+    b = lm.lm_buckets(scored, head_frac=0.33, tail_frac=0.33)
+    counts = {r.bucket: r.c for r in
+              b.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert 0.2 <= counts["head"] / n <= 0.45
+    assert 0.2 <= counts["tail"] / n <= 0.45
+    # head strictly better than tail on average
+    means = {r.bucket: r.m for r in
+             b.groupBy("bucket").agg(F.avg("perplexity").alias("m")).collect()}
+    assert means["head"] < means["tail"]
