@@ -979,8 +979,41 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# The synthetic word-salad corpus contains no organic duplicated
+# 5-grams (dup5gram would be 0.0 for every doc at every sf — the
+# vacuous-values trap); both repetition entries therefore spike every
+# even doc_id with an overlapping repeated phrase, identical
+# expressions on both sides, so the dup path computes real values.
+_REP_SPIKE_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN text ||"
+    " ' the quick brown fox jumps over the quick brown fox jumps over'"
+    " ELSE text END"
+)
+
+
+def _rep_spike(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " the quick brown fox jumps over"
+                    " the quick brown fox jumps over"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
 _REPETITION_ORACLE = f"""
-    WITH t AS (SELECT doc_id, length(text) AS nc, {_TOKS_SQL} AS tk
+    WITH t AS (SELECT doc_id, length({_REP_SPIKE_SQL}) AS nc,
+                      list_filter(regexp_split_to_array(
+                        lower({_REP_SPIKE_SQL}),
+                        '[^\\p{{L}}\\p{{N}}]+'), x -> x != '') AS tk
                FROM documents),
     g2 AS (SELECT doc_id, nc, array_to_string(tk[i:i+1], ' ') AS gram
            FROM t, unnest(generate_series(1, len(tk)-1)) AS u(i)),
@@ -1009,11 +1042,13 @@ def repetition_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (Rae et al. 2021 A1.1): top-2-gram and
     duplicate-5-gram character fractions per document.  The Spark side is
     a ZERO-shuffle sorted-array run-length scan (pure Column HOFs); the
-    oracle recomputes the counts the straightforward unnest-groupBy way."""
+    oracle recomputes the counts the straightforward unnest-groupBy way.
+    Even doc_ids carry a deterministic duplicated-phrase spike (see
+    ``_rep_spike``) so the dup-5-gram path produces non-zero values."""
     from go_crawler_spark.functions.textstats import repetition_stats
 
     d = _read(spark, sf_dir, "documents")
-    return repetition_stats(d).orderBy("doc_id")
+    return repetition_stats(_rep_spike(d)).orderBy("doc_id")
 
 
 _CORPUS_ORACLE = f"""
@@ -1540,6 +1575,89 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+# -- merged-interval duplicated-gram coverage (published Gopher rule) --------
+
+
+_MERGED_DUP_ORACLE = f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(
+                        lower({_REP_SPIKE_SQL}),
+                        '[^\\p{{L}}\\p{{N}}]+'), x -> x != '') AS tk
+               FROM documents),
+    t5 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 5),
+    g AS (
+      SELECT doc_id, i, array_to_string(tk[i:i+4], ' ') AS gram,
+             length(tk[i]) AS tl
+      FROM t5, unnest(generate_series(1, len(tk)-4)) AS u(i)
+    ),
+    flagged AS (
+      SELECT doc_id, i, gram, tl,
+             count(*) OVER (PARTITION BY doc_id, gram) >= 2 AS dup
+      FROM g
+    ),
+    pos AS (
+      SELECT doc_id, i, gram, dup,
+             coalesce(sum(tl + 1) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM flagged
+    ),
+    iv AS (
+      SELECT doc_id, st, st + length(gram) AS fin
+      FROM pos WHERE dup
+    ),
+    isl AS (
+      SELECT doc_id, st, fin,
+             CASE WHEN st > coalesce(max(fin) OVER (
+                    PARTITION BY doc_id ORDER BY st, fin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS newisl
+      FROM iv
+    ),
+    isl2 AS (
+      SELECT doc_id, st, fin,
+             sum(newisl) OVER (PARTITION BY doc_id ORDER BY st, fin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ),
+    cov AS (
+      SELECT doc_id, sum(mx - mn) AS covered
+      FROM (SELECT doc_id, island, max(fin) AS mx, min(st) AS mn
+            FROM isl2 GROUP BY doc_id, island) GROUP BY doc_id
+    ),
+    den AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+               + len(tk) - 1 AS stream_len
+      FROM t5
+    )
+    SELECT den.doc_id,
+           round(coalesce(cov.covered, 0) / den.stream_len, 6)
+             AS dup5gram_char_frac_merged
+    FROM den LEFT JOIN cov ON den.doc_id = cov.doc_id
+    ORDER BY den.doc_id
+"""
+
+
+@_q("repetition_merged_coverage", _MERGED_DUP_ORACLE)
+def repetition_merged_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published-filter duplicated-5-gram coverage (ADVICE r3 item 1):
+    each covered character counted ONCE via merged intervals in the
+    space-joined token stream, so the fraction is always in [0, 1] —
+    unlike `repetition_stats`' stricter occurrence-sum, which both
+    rules remain available (CorpusConfig documents the divergence).
+    Zero-shuffle sorted-neighbor flagging + scalar-accumulator interval
+    union (textstats.merged_dup_coverage_col); the oracle recomputes it
+    the windowed-SQL island-merge way.  Even doc_ids carry the
+    ``_rep_spike`` duplicated-phrase tail (overlapping duplicate grams,
+    so the interval MERGE itself is exercised, not just the zero
+    path)."""
+    from go_crawler_spark.functions.textstats import repetition_stats_merged
+
+    d = _read(spark, sf_dir, "documents")
+    return repetition_stats_merged(_rep_spike(d)).orderBy("doc_id")
 
 
 # -- bigram LM perplexity (CCNet quality signal) -----------------------------

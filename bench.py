@@ -188,6 +188,7 @@ def main() -> None:
         "duplicate_spans",
         "contamination_spans",
         "repetition_stats",
+        "repetition_merged_coverage",
         "corpus_prepared",
         "pii_scrubbed",
         "text_quality_stats",

@@ -58,6 +58,8 @@ QUERIES = [
     "corpus_prepared",
     "pii_scrubbed",
     "text_quality_stats",
+    "paragraph_dedup_docs",
+    "lm_perplexity_scores",
 ]
 
 
@@ -110,6 +112,37 @@ def synth_documents(spark, n_docs: int, hot_frac: float = 0.0, seed: int = 0):
     return spark.range(n_docs).repartition(32).mapInPandas(gen, schema)
 
 
+def synth_embeddings(spark, n_vecs: int, dim: int = 64, seed: int = 0):
+    """Deterministic embeddings in the driver-table shape (vec_id,
+    embedding float[dim]); every 13th vector is a noisy near-copy of its
+    predecessor so semantic dedup has real work."""
+
+    def gen(batches):
+        for b in batches:
+            ids = b["id"].to_numpy()
+            rows = []
+            for i in ids:
+                i = int(i)
+                j = i - 1 if (i % 13 == 1 and i > 0) else i
+                r = np.random.default_rng(seed * 7_000_003 + j)
+                v = r.standard_normal(dim).astype(np.float32)
+                if j != i:  # near-dup: tiny deterministic perturbation
+                    rp = np.random.default_rng(seed * 7_000_003 + i + 10**9)
+                    v = v + 0.01 * rp.standard_normal(dim).astype(np.float32)
+                rows.append({"vec_id": i, "embedding": v.tolist()})
+            yield pd.DataFrame(rows)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.range(n_vecs).repartition(32).mapInPandas(gen, schema)
+
+
 def ensure_docs_dir(spark, n_docs: int, hot_frac: float = 0.0) -> str:
     tag = f"docs_n{n_docs}" + (f"_hot{int(hot_frac * 100)}" if hot_frac else "")
     d = os.path.join(CACHE_DIR, tag)
@@ -117,6 +150,11 @@ def ensure_docs_dir(spark, n_docs: int, hot_frac: float = 0.0) -> str:
     if not os.path.exists(marker):
         synth_documents(spark, n_docs, hot_frac).write.mode("overwrite").parquet(
             os.path.join(d, "documents.parquet")
+        )
+    emarker = os.path.join(d, "embeddings.parquet", "_SUCCESS")
+    if not os.path.exists(emarker):
+        synth_embeddings(spark, n_docs).write.mode("overwrite").parquet(
+            os.path.join(d, "embeddings.parquet")
         )
     return d
 
@@ -173,6 +211,38 @@ def main() -> None:
     }
     print(f"hot-gram duplicate_spans: uniform {t_uniform}s hot50 {t_hot}s "
           f"x{out['hot_gram']['ratio']}")
+
+    # SemDeDup at production shape: the entry pins C=8 centroids for the
+    # SQL oracle, which makes within-cluster pairs O(n^2/8) — fine at
+    # 500 vectors, wrong at scale.  The paper's rule holds cluster SIZE
+    # roughly constant (C grows with n), making pairs O(n * cluster);
+    # assignment runs the Arrow-matmul path (assign_clusters_udf).
+    from go_crawler_spark.functions import semdedup
+
+    def time_semantic(sf_dir: str, n: int) -> float:
+        c = max(8, n // 64)
+        e = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).select("vec_id", "embedding")
+        cents = semdedup.centroids_by_id(e, c)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            semdedup.semantic_dedup_assigned(
+                semdedup.assign_clusters_udf(e, cents), cosine_threshold=0.9
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    t_sem_small = time_semantic(d_small, base)
+    t_sem_big = time_semantic(d_big, base * mult)
+    out["queries"]["semantic_dedup(C=n/64)"] = {
+        "sec_sf0.1": t_sem_small,
+        f"sec_sf1({mult}x)": t_sem_big,
+        "ratio": round(t_sem_big / max(t_sem_small, 1e-9), 2),
+    }
+    print(f"{'semantic_dedup(C=n/64)':<28}{t_sem_small:>9.2f}s "
+          f"{t_sem_big:>9.2f}s  x{out['queries']['semantic_dedup(C=n/64)']['ratio']}")
 
     os.makedirs(os.path.join(HERE, "bench_out"), exist_ok=True)
     with open(os.path.join(HERE, "bench_out", "sf_scale.json"), "w") as f:

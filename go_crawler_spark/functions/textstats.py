@@ -325,6 +325,128 @@ def repetition_stats(
     )
 
 
+def merged_dup_coverage_col(toks: Column, n: int = 5) -> Column:
+    """Characters covered by duplicated word ``n``-grams, each character
+    counted ONCE (merged intervals) — the published Gopher/DataTrove
+    rule, vs :func:`_repetition_aggs`'s stricter occurrence-sum.
+
+    Intervals live in the space-joined token stream (`` ".join(toks)``):
+    gram ``i`` spans ``[start_i, start_i + len(gram_i))`` where
+    ``start_{i+1} = start_i + len(tok_i) + 1``; the union of duplicated
+    spans is one forward pass keeping the last covered end.  Returns the
+    covered-character count (long); divide by the caller's denominator.
+
+    Zero shuffle, expression-safe (every lambda touches only its own
+    arguments; captured arrays are direct HOF children), O(m log m):
+
+    1. sort ``struct(gram, idx)`` by gram — duplicated occurrences are
+       sorted-neighbors, so a zip against the array's own shift marks
+       them without a counting pass;
+    2. re-sort ``struct(idx, flag)`` by idx — the scatter back to
+       document order;
+    3. one O(1)-accumulator ``aggregate`` over
+       ``struct(flag, toklen, gramlen)`` tracks (pos, last_end,
+       covered) — no array appends, so accumulators stay scalar even
+       for pathological 10^5-token documents.
+    """
+    m = F.size(toks)
+    ng = F.greatest(m - (n - 1), F.lit(0))
+    grams = kgrams_col(toks, n)
+    tagged = F.array_sort(
+        F.zip_with(
+            grams,
+            F.sequence(F.lit(0), ng - 1),
+            lambda g, i: F.struct(g.alias("g"), i.alias("i")),
+        )
+    )
+    # neighbor-equality against the array's own shift (NULL-padded tail
+    # never equals a real gram, so edges resolve to false via coalesce)
+    nxt = F.slice(tagged, 2, F.greatest(ng - 1, F.lit(0)))
+    with_next = F.zip_with(
+        tagged,
+        nxt,
+        lambda a, b: F.struct(
+            a["g"].alias("g"),
+            a["i"].alias("i"),
+            F.coalesce(a["g"] == b["g"], F.lit(False)).alias("eq_next"),
+        ),
+    )
+    prv = F.slice(with_next, 1, F.greatest(ng - 1, F.lit(0)))
+    flags_sorted = F.zip_with(
+        F.slice(with_next, 1, ng),
+        F.concat(F.array(F.lit(None).cast("struct<g:string,i:int,eq_next:boolean>")), prv),
+        lambda a, p: F.struct(
+            a["i"].alias("i"),
+            (a["eq_next"] | F.coalesce(p["eq_next"], F.lit(False))).alias("dup"),
+        ),
+    )
+    flags = F.transform(F.array_sort(flags_sorted), lambda s: s["dup"])
+    toklens = F.transform(toks, lambda t: F.length(t))
+    gramlens = F.transform(grams, lambda g: F.length(g))
+    data = F.zip_with(
+        F.zip_with(
+            flags,
+            F.slice(toklens, 1, ng),
+            lambda fl, tl: F.struct(fl.alias("dup"), tl.alias("tl")),
+        ),
+        gramlens,
+        lambda a, gl: F.struct(a["dup"].alias("dup"), a["tl"].alias("tl"), gl.alias("gl")),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("last_end"),
+        F.lit(0).cast("long").alias("covered"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        end = acc["pos"] + x["gl"].cast("long")
+        add = F.when(
+            x["dup"],
+            F.greatest(end - F.greatest(acc["pos"], acc["last_end"]), F.lit(0).cast("long")),
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            (acc["pos"] + x["tl"].cast("long") + 1).alias("pos"),
+            F.when(x["dup"], F.greatest(acc["last_end"], end))
+            .otherwise(acc["last_end"])
+            .alias("last_end"),
+            (acc["covered"] + add).alias("covered"),
+        )
+
+    return F.aggregate(data, init, step, lambda acc: acc["covered"])
+
+
+def repetition_stats_merged(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_n: int = 5,
+    toks: Column | None = None,
+) -> DataFrame:
+    """Published-filter variant of the dup fraction (ADVICE r3 item 1):
+    ``dup{n}gram_char_frac_merged`` counts each covered character once,
+    so the fraction is always in [0, 1].  The denominator is the
+    space-joined token stream length (the space the intervals live in),
+    making 1.0 exactly reachable for a fully-duplicated document.
+    Documents with fewer than ``dup_n`` tokens are dropped, as in
+    :func:`repetition_stats`."""
+    t = _toks_or(text_col, toks)
+    base = df.select(F.col(id_col), t.alias("_t")).where(F.size("_t") >= dup_n)
+    stream_len = (
+        F.aggregate(
+            F.col("_t"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x).cast("long"),
+        )
+        + F.size("_t").cast("long")
+        - 1
+    )
+    covered = merged_dup_coverage_col(F.col("_t"), dup_n)
+    return base.select(
+        id_col,
+        F.round(covered / stream_len, 6).alias(f"dup{dup_n}gram_char_frac_merged"),
+    )
+
+
 def vocab_counts(
     df: DataFrame, text_col: str = "text", toks: Column | None = None
 ) -> DataFrame:

