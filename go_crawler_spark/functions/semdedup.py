@@ -213,18 +213,43 @@ def semantic_dedup_assigned(
     farthest-from-centroid member of each near-dup group survives.
     """
     base = assigned.localCheckpoint(eager=False)  # 3 consumers below
-    cols = ["cluster_id", "cos_c", id_col, emb_col]
-    a = base.select(*cols).alias("a")
-    b = base.select(*cols).alias("b")
+    # Pre-normalize ONCE per row: the pairwise stage then pays a plain
+    # dot product instead of dot + two norms — a 3x flop cut on the
+    # quadratic (within-cluster) stage.  cos(a,b) == dot(a/|a|, b/|b|)
+    # exactly up to float round-off far below the 6-decimal rounding;
+    # zero vectors normalize to zeros so their pair cosine stays 0.0,
+    # matching cosine_col's guard.
+    d_emb = F.col(emb_col).cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(d_emb, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # expression-safety: nrm enters as a DIRECT child of array_repeat
+    # (evaluated once per row); the zip_with lambda touches only its own
+    # arguments — never `transform(d_emb, x -> x / nrm)`, which would
+    # re-evaluate the O(dim) norm per ELEMENT (see kgrams_col).
+    unit = F.zip_with(
+        d_emb,
+        F.array_repeat(nrm, F.size(d_emb)),
+        lambda x, n: F.when(n > 0, x / n).otherwise(x * 0.0),
+    )
+    slim = base.select(
+        "cluster_id", "cos_c", F.col(id_col), unit.alias("_unit")
+    )
+    cols = ["cluster_id", "cos_c", id_col, "_unit"]
+    a = slim.select(*cols).alias("a")
+    b = slim.select(*cols).alias("b")
     earlier = (F.col("b.cos_c") < F.col("a.cos_c")) | (
         (F.col("b.cos_c") == F.col("a.cos_c"))
         & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
     )
     near = (
         F.round(
-            cosine_col(
-                F.col(f"a.{emb_col}").cast("array<double>"),
-                F.col(f"b.{emb_col}").cast("array<double>"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("a._unit"), F.col("b._unit"), lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             ),
             6,
         )

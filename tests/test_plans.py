@@ -372,3 +372,15 @@ def test_semdedup_jvm_assignment_broadcasts_centroids(spark):
     p = plans.formatted_plan(assigned)
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_merged_dup_coverage_zero_shuffle_python_free(spark):
+    """The published-rule merged coverage must keep the repetition
+    invariants: one codegen'd projection, no Exchange, no Python."""
+    from go_crawler_spark.functions.textstats import repetition_stats_merged
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = repetition_stats_merged(d)
+    p = plans.formatted_plan(df)
+    assert plans.shuffle_count(df) == 0, p[:800]
+    assert "Python" not in p and "ArrowEval" not in p, p[:500]
