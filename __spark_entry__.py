@@ -984,10 +984,15 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vacuous-values trap); both repetition entries therefore spike every
 # even doc_id with an overlapping repeated phrase, identical
 # expressions on both sides, so the dup path computes real values.
+# 12-token phrase repeated twice: duplicated n-grams exist for every
+# n <= 12, so ALL dup columns (5..10) compute real values, with
+# overlapping duplicate spans exercising the merged-interval union.
+_REP_PHRASE = (
+    " the quick brown fox jumps over the lazy dog near still water"
+)
 _REP_SPIKE_SQL = (
-    "CASE WHEN doc_id % 2 = 0 THEN text ||"
-    " ' the quick brown fox jumps over the quick brown fox jumps over'"
-    " ELSE text END"
+    f"CASE WHEN doc_id % 2 = 0 THEN text ||"
+    f" '{_REP_PHRASE}{_REP_PHRASE}' ELSE text END"
 )
 
 
@@ -996,13 +1001,7 @@ def _rep_spike(d: DataFrame) -> DataFrame:
         "doc_id",
         F.when(
             F.col("doc_id") % 2 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(
-                    " the quick brown fox jumps over"
-                    " the quick brown fox jumps over"
-                ),
-            ),
+            F.concat(F.col("text"), F.lit(_REP_PHRASE + _REP_PHRASE)),
         )
         .otherwise(F.col("text"))
         .alias("text"),
@@ -1658,6 +1657,68 @@ def repetition_merged_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _read(spark, sf_dir, "documents")
     return repetition_stats_merged(_rep_spike(d)).orderBy("doc_id")
+
+
+# -- full Gopher repetition filter set ---------------------------------------
+
+
+def _gopher_full_oracle() -> str:
+    """Oracle for all nine Gopher repetition columns, generated per n —
+    the straightforward unnest-groupBy recomputation of each fraction,
+    LEFT JOINed so documents shorter than n get NULL for that column."""
+    ctes = [
+        f"""t AS (SELECT doc_id, length({_REP_SPIKE_SQL}) AS nc,
+              list_filter(regexp_split_to_array(lower({_REP_SPIKE_SQL}),
+                '[^\\p{{L}}\\p{{N}}]+'), x -> x != '') AS tk
+            FROM documents)"""
+    ]
+    selects = ["t.doc_id"]
+    joins = []
+    for kind, ns in (("top", (2, 3, 4)), ("dup", (5, 6, 7, 8, 9, 10))):
+        for n in ns:
+            agg = (
+                "max(cnt*length(gram))"
+                if kind == "top"
+                else "sum(CASE WHEN cnt>=2 THEN cnt*length(gram) ELSE 0 END)"
+            )
+            ctes.append(
+                f"""a_{kind}{n} AS (
+              SELECT doc_id, round({agg} / any_value(nc), 6) AS v
+              FROM (SELECT doc_id, any_value(nc) AS nc, gram, count(*) AS cnt
+                    FROM (SELECT doc_id, nc,
+                                 array_to_string(tk[i:i+{n - 1}], ' ') AS gram
+                          FROM t, unnest(generate_series(1, len(tk)-{n - 1}))
+                               AS u(i)) g
+                    GROUP BY doc_id, gram) c
+              GROUP BY doc_id)"""
+            )
+            selects.append(f"a_{kind}{n}.v AS {kind}{n}gram_char_frac")
+            joins.append(
+                f"LEFT JOIN a_{kind}{n} ON t.doc_id = a_{kind}{n}.doc_id"
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT "
+        + ", ".join(selects)
+        + "\nFROM t "
+        + " ".join(joins)
+        + "\nORDER BY t.doc_id"
+    )
+
+
+@_q("gopher_repetition_full", _gopher_full_oracle())
+def gopher_repetition_full_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Gopher table-A1 repetition set — top-{2,3,4} most-
+    frequent-gram fractions and dup-{5..10} duplicated-gram fractions,
+    nine columns in one zero-shuffle projection
+    (textstats.gopher_repetition_full); per-column NULL when the doc is
+    shorter than n tokens.  Spiked like the other repetition entries so
+    the dup path computes real values."""
+    from go_crawler_spark.functions.textstats import gopher_repetition_full
+
+    d = _read(spark, sf_dir, "documents")
+    return gopher_repetition_full(_rep_spike(d)).orderBy("doc_id")
 
 
 # -- bigram LM perplexity (CCNet quality signal) -----------------------------

@@ -189,6 +189,7 @@ def main() -> None:
         "contamination_spans",
         "repetition_stats",
         "repetition_merged_coverage",
+        "gopher_repetition_full",
         "corpus_prepared",
         "pii_scrubbed",
         "text_quality_stats",

@@ -325,6 +325,49 @@ def repetition_stats(
     )
 
 
+def gopher_repetition_full(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    toks: Column | None = None,
+) -> DataFrame:
+    """The COMPLETE Gopher repetition filter set (Rae et al. 2021,
+    table A1): ``top{n}gram_char_frac`` for n in 2-4 (characters covered
+    by the single most frequent n-gram) and ``dup{n}gram_char_frac`` for
+    n in 5-10 (characters covered by all n-grams occurring >= 2 times,
+    occurrence-sum rule as in :func:`repetition_stats`) — nine columns
+    in ONE zero-shuffle projection.  Per-column NULL when the document
+    has fewer than n tokens (that n-gram size is undefined for it);
+    documents are never dropped.
+
+    Nine sorted-gram streaming aggregates share the one materialized
+    tokens column — same expression-safety shape as
+    :func:`_with_repetition`, O(m log m) per (row, n), embarrassingly
+    parallel."""
+    t = _toks_or(text_col, toks)
+    base = df.select(F.col(id_col), F.col(text_col), t.alias("_t"))
+    m = F.size(F.col("_t"))
+    nchars = F.length(F.col(text_col))
+    cols = [F.col(id_col)]
+    for n in top_ns:
+        agg = _repetition_aggs(F.array_sort(kgrams_col(F.col("_t"), n)))
+        cols.append(
+            F.when(m >= n, F.round(agg["top"] / nchars, 6)).alias(
+                f"top{n}gram_char_frac"
+            )
+        )
+    for n in dup_ns:
+        agg = _repetition_aggs(F.array_sort(kgrams_col(F.col("_t"), n)))
+        cols.append(
+            F.when(m >= n, F.round(agg["dup"] / nchars, 6)).alias(
+                f"dup{n}gram_char_frac"
+            )
+        )
+    return base.select(*cols)
+
+
 def merged_dup_coverage_col(toks: Column, n: int = 5) -> Column:
     """Characters covered by duplicated word ``n``-grams, each character
     counted ONCE (merged intervals) — the published Gopher/DataTrove

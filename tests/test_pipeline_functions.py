@@ -991,3 +991,29 @@ def test_merged_vs_occurrence_sum_ordering(spark):
     # word salad, stream_len ~ len(text)) any violation means the merge
     # under-subtracted overlap — a real bug.
     assert bad == 0
+
+
+def test_gopher_full_consistent_with_pairwise(spark, documents):
+    """The nine-column single projection must agree with the original
+    two-column repetition_stats on the shared (top2, dup5) columns, and
+    per-column NULL semantics must track token count."""
+    from go_crawler_spark.functions.textstats import (
+        gopher_repetition_full,
+        repetition_stats,
+    )
+
+    full = {r.doc_id: r for r in gopher_repetition_full(documents).collect()}
+    two = {r.doc_id: r for r in repetition_stats(documents).collect()}
+    assert set(two) <= set(full)  # full keeps short docs, two drops them
+    for d, r in two.items():
+        assert full[d].top2gram_char_frac == r.top2gram_char_frac
+        assert full[d].dup5gram_char_frac == r.dup5gram_char_frac
+
+    rows = [(1, "a b c d e f g"), (2, "a b c")]  # 7 and 3 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    g = {r.doc_id: r for r in gopher_repetition_full(df).collect()}
+    assert g[1].dup7gram_char_frac is not None
+    assert g[1].dup8gram_char_frac is None      # 7 tokens: no 8-gram
+    assert g[2].top3gram_char_frac is not None
+    assert g[2].top4gram_char_frac is None      # 3 tokens: no 4-gram
+    assert g[2].dup5gram_char_frac is None
