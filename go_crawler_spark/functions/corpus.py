@@ -92,6 +92,14 @@ class CorpusConfig:
     # OpenCLIP embeddings.
     semantic_threshold: float = 0.4
     semantic_num_centroids: int = 8
+    # LM perplexity gate (CCNet's defining filter): drop the worst
+    # lm_tail_frac of surviving docs by bigram perplexity, AFTER dedup
+    # (the published order — dedup first so boilerplate copies don't
+    # distort the percentile).  None (default) = stage off.  The model
+    # trains on a reference corpus when one is passed to
+    # prepare_training_corpus, else on the survivors themselves.
+    lm_tail_frac: float | None = None
+    lm_alpha: float = 0.1
 
 
 def quality_condition(config: CorpusConfig) -> Column:
@@ -127,6 +135,7 @@ def prepare_training_corpus(
     embeddings: DataFrame | None = None,
     emb_id_col: str = "vec_id",
     emb_col: str = "embedding",
+    lm_reference: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full preparation funnel; returns the per-stage frames
     ``{"annotated", "filtered", "deduped", "corpus"}`` (all lazy).
@@ -143,6 +152,14 @@ def prepare_training_corpus(
     as a ``"semantic"`` stage feeding the split.  Embeddings for
     already-dropped docs are pruned by a semi-join first, so the
     pairwise stage only ever sees surviving ids.
+
+    When ``config.lm_tail_frac`` is set, a CCNet-style LM perplexity
+    gate runs after dedup (and after SemDeDup when active): a bigram
+    model trains on ``lm_reference`` if given (CCNet's trusted-corpus
+    setup) else on the survivors, each doc is scored, and the worst
+    ``lm_tail_frac`` by perplexity — plus docs with no bigrams (NULL
+    score, undefined quality) — are dropped; exposed as the
+    ``"lm_filtered"`` stage.
     """
     annotated = with_text_stats(df, text_col, repetition=True)
     filtered = annotated.where(quality_condition(config)).select(*df.columns)
@@ -186,6 +203,31 @@ def prepare_training_corpus(
         ).select(F.col(emb_id_col).alias(id_col))
         final = deduped.join(kept_ids, id_col, "leftsemi")
         stages["semantic"] = final
+
+    if config.lm_tail_frac is not None:
+        from go_crawler_spark.functions import lm
+
+        model = lm.train_bigram_lm(
+            lm_reference if lm_reference is not None else final,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        scored = lm.score_perplexity(
+            final, model, alpha=config.lm_alpha,
+            text_col=text_col, id_col=id_col,
+        )
+        cut = scored.agg(
+            F.approx_percentile(
+                "perplexity", F.lit(1.0 - config.lm_tail_frac)
+            ).alias("_hi")
+        )
+        keep_ids = (
+            scored.crossJoin(F.broadcast(cut))
+            .where(F.col("perplexity") <= F.col("_hi"))  # NULL drops
+            .select(id_col)
+        )
+        final = final.join(keep_ids, id_col, "leftsemi")
+        stages["lm_filtered"] = final
 
     corpus = final
     if config.split_weights:

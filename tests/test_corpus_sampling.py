@@ -208,3 +208,35 @@ def test_semdedup_udf_assignment_parity(spark):
     by_arr = {r.vec_id: r.cluster_id for r in via_arr.collect()}
     cid_to_idx = {r.cid: i for i, r in enumerate(cent_rows)}
     assert by_arr == {v: cid_to_idx[c] for v, (c, _) in jvm_map.items()}
+
+
+def test_prepare_training_corpus_lm_gate(spark, documents):
+    """lm_tail_frac drops roughly that fraction of survivors, the
+    dropped docs score strictly worse on average, and a trusted
+    reference corpus changes the model (CCNet setup) without changing
+    the gate mechanics."""
+    from go_crawler_spark.functions import lm
+
+    cfg = CorpusConfig(min_tokens=5, min_quality=0.0, split_weights=None,
+                       lm_tail_frac=0.3)
+    stages = prepare_training_corpus(documents, cfg)
+    n_dedup = stages["deduped"].count()
+    kept = stages["lm_filtered"]
+    n_kept = kept.count()
+    assert 0.55 * n_dedup <= n_kept <= 0.75 * n_dedup  # ~70% survive
+
+    model = lm.train_bigram_lm(stages["deduped"])
+    scored = lm.score_perplexity(stages["deduped"], model)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    ppl = {r.doc_id: r.perplexity for r in scored.collect()}
+    kept_mean = sum(ppl[d] for d in kept_ids) / len(kept_ids)
+    dropped = [p for d, p in ppl.items() if d not in kept_ids and p is not None]
+    assert dropped and kept_mean < sum(dropped) / len(dropped)
+    assert stages["corpus"].count() == n_kept
+
+    # reference-corpus training path runs end to end
+    ref = documents.limit(100)
+    n_ref = prepare_training_corpus(
+        documents, cfg, lm_reference=ref
+    )["lm_filtered"].count()
+    assert 0 < n_ref <= n_dedup
