@@ -1899,6 +1899,133 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cluster_id", "cos_c").orderBy("vec_id")
 
 
+# -- NB quality classifier (GPT-3 Common-Crawl filtering stage) -------------
+
+# Shared training CTEs: multinomial NB over the package tokenizer, class
+# labels doc_id % 5 == 0 (the deterministic "trusted reference" proxy —
+# in production the positives are Wikipedia/books; the pipeline shape is
+# label-agnostic), add-0.5 smoothing over the joint vocabulary.
+_NB_TRAIN_SQL = """
+    t AS (SELECT doc_id, {toks} AS tk FROM documents),
+    occ AS (SELECT doc_id, unnest(tk) AS token FROM t),
+    lab AS (SELECT doc_id, (doc_id % 5 = 0) AS is_pos FROM documents),
+    tagged AS (
+      SELECT o.token, CASE WHEN l.is_pos THEN 1 ELSE 0 END AS isp
+      FROM occ o JOIN lab l USING (doc_id)
+    ),
+    counts AS (
+      SELECT token, sum(isp) AS c_pos, sum(1 - isp) AS c_neg
+      FROM tagged GROUP BY token
+    ),
+    consts AS (
+      SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg, count(*) AS v
+      FROM counts
+    ),
+    prior AS (
+      SELECT ln(CAST((SELECT count(*) FROM lab WHERE is_pos) AS DOUBLE)
+                / (SELECT count(*) FROM lab WHERE NOT is_pos)) AS log_prior
+    ),
+    llr AS (
+      SELECT token,
+             ln((c_pos + 0.5) / (n_pos + 0.5 * v))
+             - ln((c_neg + 0.5) / (n_neg + 0.5 * v)) AS llr
+      FROM counts CROSS JOIN consts
+    ),
+    floorv AS (
+      SELECT ln(0.5 / (n_pos + 0.5 * v)) - ln(0.5 / (n_neg + 0.5 * v))
+             AS floor_llr
+      FROM consts
+    ),
+    per_doc AS (
+      SELECT o.doc_id, count(*) AS n_tokens,
+             sum(coalesce(l.llr, f.floor_llr)) AS s
+      FROM occ o LEFT JOIN llr l USING (token) CROSS JOIN floorv f
+      GROUP BY o.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             coalesce(p.n_tokens, 0) AS n_tokens,
+             coalesce(p.s, 0) + pr.log_prior AS logit
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      CROSS JOIN prior pr
+    )
+""".format(toks=_TOKS_SQL)
+
+_NB_ORACLE = f"""
+    WITH {_NB_TRAIN_SQL}
+    SELECT doc_id, n_tokens, round(logit, 6) AS logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS score
+    FROM scored ORDER BY doc_id
+"""
+
+
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_crawler_spark.functions import classifier
+
+    d = _read(spark, sf_dir, "documents")
+    pos = d.where(F.col("doc_id") % 5 == 0)
+    neg = d.where(F.col("doc_id") % 5 != 0)
+    model = classifier.train_nb_quality(pos, neg, alpha=0.5)
+    return classifier.score_nb_quality(d, model)
+
+
+@_q("nb_quality_scores", _NB_ORACLE)
+def nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style quality classifier (Brown et al. 2020, App. A):
+    multinomial NB trained to separate a deterministic reference split
+    (doc_id %% 5 == 0) from the rest, per-doc logit = prior + sum of
+    token log-likelihood ratios, score = sigmoid(logit).
+    functions/classifier.py: train is ONE groupBy(token) shuffle with
+    both class counts side by side; score is one equi-join (one LLR row
+    per distinct token — hot tokens can't amplify) + one per-doc sum."""
+    return (
+        _nb_scored(spark, sf_dir)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("logit", 6).alias("logit"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NB_PARETO_ORACLE = f"""
+    WITH {_NB_TRAIN_SQL},
+    gated AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-logit)) AS score,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) / 1152921504606846976.0 AS u
+      FROM scored
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM gated
+    WHERE pow(1.0 - u, -1.0 / 9.0) - 1.0 > 1.0 - score
+    ORDER BY doc_id
+"""
+
+
+@_q("nb_pareto_kept", _NB_PARETO_ORACLE)
+def nb_pareto_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3 acceptance rule on the NB scores:
+    keep iff pareto(9) > 1 - score, with the Pareto draw derived by
+    inverse CDF from a per-doc uniform so membership is deterministic.
+    Cross-engine uniform: 60-bit md5 prefix of the doc_id string over
+    2^60 (identical in Spark and DuckDB — the md5_hash64_col device);
+    production uses xxhash64 via sampling.unit_hash, same algorithm."""
+    from go_crawler_spark.functions.classifier import pareto_gate_col
+    from go_crawler_spark.functions.dedup import md5_hash64_col
+
+    scored = _nb_scored(spark, sf_dir)
+    u = md5_hash64_col(F.col("doc_id").cast("string")) / F.lit(float(1 << 60))
+    return (
+        scored.where(pareto_gate_col(F.col("score"), F.col("doc_id"), u=u))
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 
