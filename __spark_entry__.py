@@ -2026,6 +2026,116 @@ def nb_pareto_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- DSIR importance resampling (Xie et al. 2023) ---------------------------
+
+# Shared CTEs: hashed unigram+bigram features (60-bit md5 prefix mod
+# 1024 — the cross-engine hash), target = lang='en' docs, raw = all.
+_DSIR_SQL = """
+    t AS (SELECT doc_id, lang, {toks} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, lang, unnest(tk) AS g FROM t
+      UNION ALL
+      SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS g
+      FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+    ),
+    occ AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS bucket
+      FROM grams
+    ),
+    p AS (SELECT bucket, count(*) AS cp FROM occ WHERE lang = 'en'
+          GROUP BY bucket),
+    q AS (SELECT bucket, count(*) AS cq FROM occ GROUP BY bucket),
+    consts AS (SELECT (SELECT sum(cp) FROM p) AS np,
+                      (SELECT sum(cq) FROM q) AS nq),
+    ratio AS (
+      SELECT q.bucket,
+             ln((coalesce(p.cp, 0) + 1.0) / (np + 1024.0))
+             - ln((q.cq + 1.0) / (nq + 1024.0)) AS llr
+      FROM q LEFT JOIN p USING (bucket) CROSS JOIN consts
+    ),
+    weights AS (
+      SELECT o.doc_id, count(*) AS n_feats, sum(r.llr) AS log_w
+      FROM occ o JOIN ratio r USING (bucket)
+      GROUP BY o.doc_id
+    )
+""".format(toks=_TOKS_SQL)
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_crawler_spark.functions import dsir
+    from go_crawler_spark.functions.dedup import md5_hash64_col
+
+    d = _read(spark, sf_dir, "documents")
+    feats = dsir.hashed_ngram_features(
+        d, num_buckets=1024, hash_fn=md5_hash64_col
+    )
+    target = dsir.hashed_ngram_features(
+        d.where(F.col("lang") == "en"), num_buckets=1024,
+        hash_fn=md5_hash64_col,
+    )
+    return dsir.importance_log_weights(
+        feats,
+        dsir.fit_feature_dist(target),
+        dsir.fit_feature_dist(feats),
+        num_buckets=1024,
+        alpha=1.0,
+    )
+
+
+@_q(
+    "dsir_log_weights",
+    f"WITH {_DSIR_SQL} SELECT doc_id, n_feats, round(log_w, 6) AS log_w"
+    " FROM weights ORDER BY doc_id",
+)
+def dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): per-doc log importance
+    weight ln p_hat(x)/q_hat(x) under hashed unigram+bigram bag-of-
+    ngrams, target = the corpus's English docs, raw = everything.
+    functions/dsir.py: the fitted state is O(B)=1024 rows per dist —
+    broadcast, never shuffled — and the weight pass is one equi-join
+    plus one per-doc sum; this is what makes DSIR run at 100 TB."""
+    return (
+        _dsir_weights(spark, sf_dir)
+        .select("doc_id", "n_feats", F.round("log_w", 6).alias("log_w"))
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "dsir_resampled_topk",
+    f"""
+    WITH {_DSIR_SQL},
+    keyed AS (
+      SELECT doc_id,
+             log_w - ln(-ln(
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':g'),
+                                    1, 15)) AS BIGINT)
+               / 1152921504606846976.0)) AS gumbel_key
+      FROM weights
+    )
+    SELECT doc_id, round(gumbel_key, 6) AS gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
+    """,
+)
+def dsir_resampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's resampling half: weighted sampling WITHOUT replacement as
+    Gumbel top-k over log_w + Gumbel(0,1), the draw derived by inverse
+    CDF from a per-doc md5 uniform (cross-engine; production uses
+    xxhash64 via sampling.unit_hash).  Distributed TakeOrdered — no
+    global sort materializes."""
+    from go_crawler_spark.functions import dsir
+    from go_crawler_spark.functions.dedup import md5_hash64_col
+
+    w = _dsir_weights(spark, sf_dir)
+    u = md5_hash64_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":g"))
+    ) / F.lit(float(1 << 60))
+    return dsir.gumbel_topk(w, k=50, u=u).select(
+        "doc_id", F.round("gumbel_key", 6).alias("gumbel_key")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

@@ -136,6 +136,100 @@ def test_pareto_gate_monotone_in_score(spark):
     assert kept_lo <= kept_hi
 
 
+def test_dsir_features_count_unigrams_plus_bigrams(spark):
+    from go_crawler_spark.functions import dsir
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, "")], "doc_id long, text string"
+    )
+    feats = dsir.hashed_ngram_features(df, num_buckets=64)
+    per_doc = {r._id: r.n for r in feats.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # 3 unigrams + 2 bigrams; 1 + 0; empty -> no rows
+    assert per_doc == {1: 5, 2: 1}
+    buckets = feats.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    assert 0 <= buckets[0] and buckets[1] < 64
+    with pytest.raises(ValueError):
+        dsir.hashed_ngram_features(df, num_buckets=0)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from go_crawler_spark.functions import dsir
+
+    target = spark.createDataFrame(
+        [(100 + i, "physics energy quantum field theory") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "physics energy quantum field theory"),
+         (2, "buy cheap pills online now fast"),
+         (3, "energy field with some physics words mixed in")],
+        "doc_id long, text string",
+    )
+    B = 512
+    tf = dsir.hashed_ngram_features(target, B)
+    rf = dsir.hashed_ngram_features(raw, B)
+    w = dsir.importance_log_weights(
+        dsir.hashed_ngram_features(raw, B),
+        dsir.fit_feature_dist(tf), dsir.fit_feature_dist(rf), B,
+    )
+    rows = {r.doc_id: r for r in w.collect()}
+    # the target-identical doc outranks both others outright
+    assert rows[1].log_w > max(rows[2].log_w, rows[3].log_w)
+    # log_w is a SUM over occurrences (the DSIR importance ratio), so
+    # longer docs accumulate more mass; per-feature means recover the
+    # mixed-beats-spam ordering
+    mean = {k: r.log_w / r.n_feats for k, r in rows.items()}
+    assert mean[1] > mean[3] > mean[2]
+    assert all(abs(r.log_w) < 1e6 for r in rows.values())
+
+
+def test_dsir_weight_is_sum_of_bucket_llrs(spark):
+    """Closed-form check on a single-token corpus: one bucket, exact
+    add-alpha arithmetic."""
+    from go_crawler_spark.functions import dsir
+
+    target = spark.createDataFrame([(1, "x x x")], "doc_id long, text string")
+    raw = spark.createDataFrame([(2, "x")], "doc_id long, text string")
+    B, alpha = 16, 1.0
+    tf = dsir.fit_feature_dist(dsir.hashed_ngram_features(target, B))
+    rf = dsir.fit_feature_dist(dsir.hashed_ngram_features(raw, B))
+    w = dsir.importance_log_weights(
+        dsir.hashed_ngram_features(raw, B), tf, rf, B, alpha=alpha
+    ).collect()[0]
+    # target: 3 unigram "x" + 2 bigram "x x" occurrences = 5 in 1 or 2
+    # buckets; raw: 1 occurrence of "x".  The raw doc's single feature
+    # is the "x" bucket: p = (3+1)/(5+16), q = (1+1)/(1+16)
+    expected = math.log((3 + alpha) / (5 + alpha * B)) - math.log(
+        (1 + alpha) / (1 + alpha * B)
+    )
+    assert w.n_feats == 1
+    assert w.log_w == pytest.approx(expected, rel=1e-12)
+
+
+def test_dsir_gumbel_topk_deterministic_and_weight_biased(spark):
+    from go_crawler_spark.functions import dsir
+
+    n = 2000
+    # half the docs get log_w = 3, half log_w = -3
+    weighted = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("n_feats"),
+        F.when(F.col("id") % 2 == 0, 3.0).otherwise(-3.0).alias("log_w"),
+    )
+    top1 = dsir.gumbel_topk(weighted, 200).collect()
+    top2 = dsir.gumbel_topk(weighted, 200).collect()
+    assert [r.doc_id for r in top1] == [r.doc_id for r in top2]
+    hi = sum(1 for r in top1 if r.log_w == 3.0)
+    # e^6 ~ 400x odds ratio: the top-200 should be nearly all heavy docs
+    assert hi > 190
+    # keys strictly ordered
+    keys = [r.gumbel_key for r in top1]
+    assert keys == sorted(keys, reverse=True)
+    with pytest.raises(ValueError):
+        dsir.gumbel_topk(weighted, 0)
+
+
 def test_nb_scores_on_testdata_nonvacuous(spark, documents):
     """Self-split train on real testdata: scores spread, all finite."""
     pos = documents.where(F.col("doc_id") % 5 == 0)
