@@ -2136,6 +2136,96 @@ def dsir_resampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- RefinedWeb URL gate -----------------------------------------------------
+
+_URLGATE_HOSTS = [
+    "news.example.com",
+    "blog.example.org",
+    "cdn.badsite.example",
+    "badsite.example",
+    "shop.example.net",
+    "notbadsite.example",
+]
+
+_URLGATE_ORACLE = f"""
+    WITH hosts(i, h) AS (
+      VALUES {", ".join(f"({i}, '{h}')" for i, h in enumerate(_URLGATE_HOSTS))}
+    ),
+    urls AS (
+      SELECT d.doc_id, h.h AS host,
+             'http://' || h.h || '/doc-' || CAST(d.doc_id AS VARCHAR) ||
+             CASE WHEN d.doc_id % 7 = 0 THEN '-casino'
+                  WHEN d.doc_id % 11 = 0 THEN '-poker-webcam'
+                  WHEN d.doc_id % 13 = 0 THEN '-poker'
+                  ELSE '' END AS url
+      FROM documents d JOIN hosts h ON h.i = d.doc_id % 6
+    ),
+    scored AS (
+      SELECT doc_id, host, url,
+             (CASE WHEN contains(lower(url), 'adult') THEN 0.5 ELSE 0.0 END
+            + CASE WHEN contains(lower(url), 'casino') THEN 1.0 ELSE 0.0 END
+            + CASE WHEN contains(lower(url), 'escort') THEN 1.0 ELSE 0.0 END
+            + CASE WHEN contains(lower(url), 'gambling') THEN 1.0 ELSE 0.0 END
+            + CASE WHEN contains(lower(url), 'pills') THEN 0.5 ELSE 0.0 END
+            + CASE WHEN contains(lower(url), 'poker') THEN 0.5 ELSE 0.0 END
+            + CASE WHEN contains(lower(url), 'porn') THEN 1.0 ELSE 0.0 END
+            + CASE WHEN contains(lower(url), 'sex') THEN 1.0 ELSE 0.0 END
+            + CASE WHEN contains(lower(url), 'torrent') THEN 0.5 ELSE 0.0 END
+            + CASE WHEN contains(lower(url), 'viagra') THEN 1.0 ELSE 0.0 END
+            + CASE WHEN contains(lower(url), 'webcam') THEN 0.5 ELSE 0.0 END
+            + CASE WHEN contains(lower(url), 'xxx') THEN 1.0 ELSE 0.0 END
+             ) AS word_score
+      FROM urls
+    )
+    SELECT doc_id, url, round(word_score, 6) AS word_score
+    FROM scored
+    WHERE word_score < 1.0
+      AND (length(url) - length(regexp_replace(url, '[0-9]', '', 'g')))
+          <= 0.5 * length(url)
+      AND length(url) <= 2048
+      AND NOT (host = 'badsite.example' OR host LIKE '%.badsite.example')
+    ORDER BY doc_id
+"""
+
+
+@_q("url_gate_survivors", _URLGATE_ORACLE)
+def url_gate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb's URL-level first gate (Penedo et al. 2023, App. G):
+    suffix-chain domain blocklist (blocks badsite.example AND its
+    subdomains but NOT the sibling notbadsite.example — the dot-aware
+    property a LIKE '%badsite%' would get wrong) + soft banned-word
+    score (strong word blocks alone; poker-webcam 0.5+0.5 blocks in
+    combination; bare -poker survives) + digit/length shape bounds.
+    URLs synthesized deterministically from doc_id so both engines
+    construct the identical corpus.  functions/urlfilter.py: the
+    blocklist is an exploded-suffix EQUI-join (scales to the published
+    4.6M-domain lists), the word score is unrolled JVM contains probes."""
+    from go_crawler_spark.functions import urlfilter
+
+    d = _read(spark, sf_dir, "documents")
+    hosts = F.array(*[F.lit(h) for h in _URLGATE_HOSTS])
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"),
+            F.element_at(hosts, (F.col("doc_id") % 6 + 1).cast("int")),
+            F.lit("/doc-"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, "-casino")
+            .when(F.col("doc_id") % 11 == 0, "-poker-webcam")
+            .when(F.col("doc_id") % 13 == 0, "-poker")
+            .otherwise(""),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame([("badsite.example",)], "domain string")
+    kept = urlfilter.url_quality_filter(urls, blocklist=bl)
+    return kept.select(
+        "doc_id",
+        "url",
+        F.round(urlfilter.url_word_score_col("url"), 6).alias("word_score"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 
