@@ -184,6 +184,9 @@ def main() -> None:
         "semantic_dedup_survivors",
         "paragraph_dedup_docs",
         "lm_perplexity_scores",
+        "nb_quality_scores",
+        "dsir_log_weights",
+        "url_gate_survivors",
         "user_sessions",
         "duplicate_spans",
         "contamination_spans",

@@ -100,6 +100,20 @@ class CorpusConfig:
     # prepare_training_corpus, else on the survivors themselves.
     lm_tail_frac: float | None = None
     lm_alpha: float = 0.1
+    # NB quality-classifier gate (GPT-3's Common-Crawl filter): runs
+    # right after the heuristic gate, BEFORE dedup (the published
+    # order — Brown et al. 2020 classify raw CC, then fuzzy-dedup the
+    # survivors).  None (default) = stage off; set the Pareto shape
+    # (GPT-3 uses 9) and pass classifier_positive to
+    # prepare_training_corpus.
+    classifier_pareto_shape: float | None = None
+    classifier_alpha: float = 0.5
+    # DSIR selection (Xie et al. 2023): final sized selection from the
+    # cleaned pool by Gumbel top-k over importance weights against a
+    # target-domain corpus.  None (default) = stage off; set the kept
+    # count and pass dsir_target to prepare_training_corpus.
+    dsir_k: int | None = None
+    dsir_num_buckets: int = 10_000
 
 
 def quality_condition(config: CorpusConfig) -> Column:
@@ -136,6 +150,8 @@ def prepare_training_corpus(
     emb_id_col: str = "vec_id",
     emb_col: str = "embedding",
     lm_reference: DataFrame | None = None,
+    classifier_positive: DataFrame | None = None,
+    dsir_target: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full preparation funnel; returns the per-stage frames
     ``{"annotated", "filtered", "deduped", "corpus"}`` (all lazy).
@@ -160,11 +176,51 @@ def prepare_training_corpus(
     ``lm_tail_frac`` by perplexity — plus docs with no bigrams (NULL
     score, undefined quality) — are dropped; exposed as the
     ``"lm_filtered"`` stage.
+
+    When ``config.classifier_pareto_shape`` is set (GPT-3's CC filter,
+    Brown et al. 2020 App. A), an NB quality classifier trains with
+    ``classifier_positive`` as the trusted reference and the
+    heuristically-filtered pool itself as negatives, and gates docs by
+    the deterministic ``pareto(shape) > 1 - score`` rule BEFORE dedup
+    (the published order); exposed as ``"classifier_kept"``.
+
+    When ``config.dsir_k`` is set (DSIR, Xie et al. 2023), the LAST
+    selection stage picks ``dsir_k`` docs from the cleaned pool by
+    Gumbel top-k over hashed-ngram importance weights against
+    ``dsir_target``; exposed as ``"dsir_selected"``.
     """
     annotated = with_text_stats(df, text_col, repetition=True)
     filtered = annotated.where(quality_condition(config)).select(*df.columns)
 
-    exact = exact_dedup(filtered, text_col, id_col)
+    classifier_stage: DataFrame | None = None
+    if config.classifier_pareto_shape is not None:
+        if classifier_positive is None:
+            raise ValueError(
+                "classifier_pareto_shape is set but no classifier_positive "
+                "reference corpus was passed"
+            )
+        from go_crawler_spark.functions import classifier as _clf
+
+        model = _clf.train_nb_quality(
+            classifier_positive,
+            filtered,
+            alpha=config.classifier_alpha,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        scored = _clf.score_nb_quality(
+            filtered, model, text_col=text_col, id_col=id_col
+        )
+        keep_ids = _clf.pareto_quality_gate(
+            scored,
+            shape=config.classifier_pareto_shape,
+            id_col=id_col,
+            seed=config.seed,
+        ).select(id_col)
+        classifier_stage = filtered.join(keep_ids, id_col, "leftsemi")
+
+    pool = classifier_stage if classifier_stage is not None else filtered
+    exact = exact_dedup(pool, text_col, id_col)
     if config.persist_intermediate:
         exact = exact.persist()
     pairs = minhash_near_dups(
@@ -184,6 +240,8 @@ def prepare_training_corpus(
         "filtered": filtered,
         "deduped": deduped,
     }
+    if classifier_stage is not None:
+        stages["classifier_kept"] = classifier_stage
 
     final = deduped
     if embeddings is not None:
@@ -228,6 +286,33 @@ def prepare_training_corpus(
         )
         final = final.join(keep_ids, id_col, "leftsemi")
         stages["lm_filtered"] = final
+
+    if config.dsir_k is not None:
+        if dsir_target is None:
+            raise ValueError(
+                "dsir_k is set but no dsir_target corpus was passed"
+            )
+        from go_crawler_spark.functions import dsir as _dsir
+
+        pool_feats = _dsir.hashed_ngram_features(
+            final, config.dsir_num_buckets, text_col=text_col, id_col=id_col
+        )
+        target_feats = _dsir.hashed_ngram_features(
+            dsir_target, config.dsir_num_buckets, text_col=text_col,
+            id_col=id_col,
+        )
+        weights = _dsir.importance_log_weights(
+            pool_feats,
+            _dsir.fit_feature_dist(target_feats),
+            _dsir.fit_feature_dist(pool_feats),
+            num_buckets=config.dsir_num_buckets,
+            id_col=id_col,
+        )
+        picked = _dsir.gumbel_topk(
+            weights, config.dsir_k, seed=config.seed, id_col=id_col
+        ).select(id_col)
+        final = final.join(picked, id_col, "leftsemi")
+        stages["dsir_selected"] = final
 
     corpus = final
     if config.split_weights:

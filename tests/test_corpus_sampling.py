@@ -240,3 +240,52 @@ def test_prepare_training_corpus_lm_gate(spark, documents):
         documents, cfg, lm_reference=ref
     )["lm_filtered"].count()
     assert 0 < n_ref <= n_dedup
+
+
+def test_prepare_training_corpus_classifier_gate(spark, documents):
+    """GPT-3's classifier stage: trains against a trusted positive
+    slice, gates with the deterministic Pareto rule BEFORE dedup, and
+    the config validates its required reference."""
+    import pyspark.sql.functions as F
+
+    pos = documents.where(F.col("doc_id") % 5 == 0)
+    cfg = CorpusConfig(min_tokens=5, min_quality=0.0, split_weights=None,
+                       classifier_pareto_shape=9.0)
+    stages = prepare_training_corpus(documents, cfg, classifier_positive=pos)
+    n_filtered = stages["filtered"].count()
+    n_kept = stages["classifier_kept"].count()
+    # the gate actually cuts (self-trained scores hover near the prior,
+    # so pareto(9) keeps few) and never grows the pool
+    assert 0 < n_kept < n_filtered
+    # downstream stages consume the gated pool
+    assert stages["deduped"].count() <= n_kept
+    # reruns are identical (hash-derived draw)
+    again = prepare_training_corpus(documents, cfg, classifier_positive=pos)
+    assert again["classifier_kept"].count() == n_kept
+
+    with pytest.raises(ValueError):
+        prepare_training_corpus(documents, cfg)  # no positive reference
+
+
+def test_prepare_training_corpus_dsir_stage(spark, documents):
+    """DSIR selection: exactly k docs picked from the cleaned pool,
+    a subset of the prior stage, deterministic across reruns."""
+    import pyspark.sql.functions as F
+
+    target = documents.where(F.col("lang") == "en")
+    cfg = CorpusConfig(min_tokens=5, min_quality=0.0, split_weights=None,
+                       dsir_k=50, dsir_num_buckets=1024)
+    stages = prepare_training_corpus(documents, cfg, dsir_target=target)
+    picked = stages["dsir_selected"]
+    ids = sorted(r.doc_id for r in picked.select("doc_id").collect())
+    assert len(ids) == 50
+    dedup_ids = {r.doc_id for r in stages["deduped"].select("doc_id").collect()}
+    assert set(ids) <= dedup_ids
+    assert stages["corpus"].count() == 50
+    again = prepare_training_corpus(documents, cfg, dsir_target=target)
+    ids2 = sorted(r.doc_id
+                  for r in again["dsir_selected"].select("doc_id").collect())
+    assert ids == ids2
+
+    with pytest.raises(ValueError):
+        prepare_training_corpus(documents, cfg)  # no target corpus
