@@ -2226,6 +2226,99 @@ def url_gate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# -- C4 line-level cleaning ---------------------------------------------------
+
+_C4_ORACLE = """
+    WITH raw AS (
+      SELECT doc_id,
+        'Intro sentence number ' || CAST(doc_id AS VARCHAR)
+          || ' is long enough to pass.'
+        || chr(10) || substr(text, 1, 60)
+        || CASE WHEN doc_id % 17 = 0
+                THEN chr(10) || 'Filler with lorem ipsum inside the page.'
+                ELSE '' END
+        || CASE WHEN doc_id % 19 = 0
+                THEN chr(10) || 'Code sample with a { brace in it.'
+                ELSE '' END
+        || chr(10) || 'Please enable javascript to continue reading this.'
+        || chr(10) || 'Second proper sentence keeps the page alive today.'
+        || chr(10) || CASE WHEN doc_id % 3 = 0
+                THEN 'Third proper sentence completes the minimum trio.'
+                ELSE 'too short to keep.' END AS text
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text,
+        list_filter(
+          list_transform(string_split(text, chr(10)), l -> trim(l)),
+          l -> regexp_matches(l, '[.!?]["”'']?$')
+           AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                               w -> w != '')) >= 5
+           AND NOT contains(lower(l), 'javascript')
+        ) AS klines
+      FROM raw
+    ),
+    cleaned AS (
+      SELECT doc_id, text, array_to_string(klines, chr(10)) AS ctext,
+             len(klines) AS n_lines_kept
+      FROM kept
+    ),
+    sent AS (
+      SELECT *,
+        length(regexp_replace(ctext, '[.!?]+', chr(1), 'g'))
+        - length(replace(regexp_replace(ctext, '[.!?]+', chr(1), 'g'),
+                         chr(1), '')) AS n_sentences
+      FROM cleaned
+    )
+    SELECT doc_id, ctext AS text, n_lines_kept, n_sentences
+    FROM sent
+    WHERE NOT (contains(lower(text), 'lorem ipsum')
+               OR contains(text, '{')
+               OR n_sentences < 3)
+    ORDER BY doc_id
+"""
+
+
+@_q("c4_cleaned_pages", _C4_ORACLE)
+def c4_cleaned_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2) over deterministically
+    spiked multi-line pages: line rules (terminal punctuation, >= 5
+    words, no "javascript") then page rules ("lorem ipsum", curly
+    brace, >= 3 surviving sentences).  Every rule fires non-vacuously:
+    %17 pages carry lorem ipsum, %19 a brace, and only %3 pages get a
+    third proper sentence — the rest die on the sentence minimum; the
+    raw-text substr line never terminates in punctuation so the line
+    gate always cuts it.  functions/c4.py: ONE zero-shuffle projection,
+    no Python (plan-locked in tests/test_c4.py)."""
+    from go_crawler_spark.functions import c4
+
+    d = _read(spark, sf_dir, "documents")
+    spiked = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Intro sentence number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" is long enough to pass.\n"),
+            F.substring("text", 1, 60),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                "\nFiller with lorem ipsum inside the page.",
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 19 == 0,
+                "\nCode sample with a { brace in it.",
+            ).otherwise(""),
+            F.lit("\nPlease enable javascript to continue reading this."),
+            F.lit("\nSecond proper sentence keeps the page alive today.\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                "Third proper sentence completes the minimum trio.",
+            ).otherwise("too short to keep."),
+        ).alias("text"),
+    )
+    return c4.c4_clean(spiked).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 
