@@ -2319,6 +2319,118 @@ def c4_cleaned_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4.c4_clean(spiked).orderBy("doc_id")
 
 
+# -- Gopher table-A1 quality rules (non-repetition half) ---------------------
+
+_GOPHER_Q_ORACLE = f"""
+    WITH spiked AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 7 = 0
+                THEN chr(10) || '• a spiked bullet line starts here'
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN chr(10) || 'this spiked line trails off...'
+                ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' # # # # # # # # # #'
+                ELSE '' END
+        || CASE WHEN doc_id % 17 = 0
+                THEN repeat(' 000', 30)
+                ELSE '' END
+        || CASE WHEN doc_id % 2 = 0
+                THEN ' these words have to be of use and that should do.'
+                ELSE '' END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, text,
+        list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')
+          AS words,
+        list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines,
+        {_TOKS_SQL} AS tk
+      FROM spiked
+    ),
+    sig AS (
+      SELECT doc_id,
+        len(words) AS n_words,
+        CASE WHEN len(words) > 0 THEN
+          round(CAST(list_sum(list_transform(words, w -> length(w)))
+                     AS DOUBLE) / len(words), 6) END AS mean_word_len,
+        CASE WHEN len(words) > 0 THEN
+          round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                     AS DOUBLE) / len(words), 6) END AS symbol_word_ratio,
+        round(CAST(len(list_filter(lines,
+            l -> starts_with(l, '•') OR starts_with(l, '-')
+                 OR starts_with(l, '*'))) AS DOUBLE)
+          / len(lines), 6) AS bullet_line_frac,
+        round(CAST(len(list_filter(lines,
+            l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+          / len(lines), 6) AS ellipsis_line_frac,
+        CASE WHEN len(words) > 0 THEN
+          round(CAST(len(list_filter(words,
+              w -> regexp_matches(w, '\\p{{L}}'))) AS DOUBLE)
+            / len(words), 6) END AS alpha_word_frac,
+        len(list_intersect(list_distinct(tk),
+            ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+          AS n_stop_hits
+      FROM base
+    )
+    SELECT *,
+      COALESCE(
+        n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.10
+        AND ellipsis_line_frac <= 0.30
+        AND alpha_word_frac >= 0.80
+        AND n_stop_hits >= 2, false) AS gopher_quality_pass
+    FROM sig ORDER BY doc_id
+"""
+
+
+@_q("gopher_quality_signals", _GOPHER_Q_ORACLE)
+def gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-repetition half of Gopher's table-A1 quality filter
+    (Rae et al. 2021) — word-count/mean-word-length bounds, symbol and
+    bullet/ellipsis line fractions, alphabetic-word fraction, and the
+    paper's 8-stop-word rule — as ONE zero-shuffle projection
+    (textstats.gopher_quality_stats; plan-locked Python-free).  Pages
+    deterministically spiked so each rule fires: %7 adds a bullet
+    line, %11 an ellipsis-terminated line, %13 hash symbols, %17
+    numeric non-alpha words, and even ids a stop-word sentence (the
+    synthetic vocabulary contains only 'the' from the paper's list, so
+    without it the stop rule would be all-fail vacuous); the 50-word
+    minimum splits the natural length distribution."""
+    from go_crawler_spark.functions.textstats import gopher_quality_stats
+
+    d = _read(spark, sf_dir, "documents")
+    spiked = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                "\n• a spiked bullet line starts here",
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                "\nthis spiked line trails off...",
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0, " # # # # # # # # # #"
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 17 == 0, F.expr("repeat(' 000', 30)")
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                " these words have to be of use and that should do.",
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return gopher_quality_stats(spiked).drop("text").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

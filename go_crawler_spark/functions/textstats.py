@@ -490,6 +490,106 @@ def repetition_stats_merged(
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher table-A1 QUALITY rules (the non-repetition half; Rae et al.
+# 2021).  The repetition half is gopher_repetition_full above.
+# ---------------------------------------------------------------------------
+
+# the paper's exact stop-word list for the "contains >= 2 of" rule
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Attach the Gopher table-A1 quality signals and the composed
+    ``gopher_quality_pass`` verdict — ONE zero-shuffle projection, no
+    Python (same plan contract as :func:`gopher_repetition_full`).
+
+    Signals and published thresholds:
+
+    * ``n_words`` in [50, 100000] — whitespace words, the paper's unit;
+    * ``mean_word_len`` in [3, 10];
+    * ``symbol_word_ratio`` (# and ellipsis occurrences / words) <= 0.1;
+    * ``bullet_line_frac`` <= 0.10 ("90% of lines do not start with a
+      bullet"; bullets here: ``•``, ``-``, ``*``);
+    * ``ellipsis_line_frac`` <= 0.30 (lines ending in ``...``/``…``);
+    * ``alpha_word_frac`` >= 0.80 (words containing >= 1 letter);
+    * ``n_stop_hits`` >= 2 distinct hits in the paper's 8-word stop
+      list (membership tested on the package tokenizer's tokens so
+      trailing punctuation can't mask a hit).
+
+    Empty documents get NULL ratio signals and fail the verdict (the
+    word-count bound already excludes them).  Documents are annotated,
+    never dropped — callers filter on the verdict.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w),
+    )
+    nonzero = n_words > 0
+    mean_word_len = F.when(
+        nonzero, total_chars.cast("double") / n_words
+    )
+    n_symbols = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+    symbol_ratio = F.when(nonzero, n_symbols.cast("double") / n_words)
+    lines = F.transform(F.split(text, r"\n"), lambda l: F.trim(l))
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("•")
+                | l.startswith("-")
+                | l.startswith("*"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = F.when(
+        nonzero,
+        F.size(F.filter(words, lambda w: w.rlike(r"\p{L}"))).cast("double")
+        / n_words,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens_col(text_col)),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPS]),
+        )
+    )
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("symbol_word_ratio", F.round(symbol_ratio, 6))
+        .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
+        .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 6))
+        .withColumn("alpha_word_frac", F.round(alpha_frac, 6))
+        .withColumn("n_stop_hits", stop_hits)
+    )
+    passed = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.10)
+        & (F.col("ellipsis_line_frac") <= 0.30)
+        & (F.col("alpha_word_frac") >= 0.80)
+        & (F.col("n_stop_hits") >= 2)
+    )
+    return out.withColumn(
+        "gopher_quality_pass", F.coalesce(passed, F.lit(False))
+    )
+
+
 def vocab_counts(
     df: DataFrame, text_col: str = "text", toks: Column | None = None
 ) -> DataFrame:

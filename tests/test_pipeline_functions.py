@@ -1017,3 +1017,62 @@ def test_gopher_full_consistent_with_pairwise(spark, documents):
     assert g[2].top3gram_char_frac is not None
     assert g[2].top4gram_char_frac is None      # 3 tokens: no 4-gram
     assert g[2].dup5gram_char_frac is None
+
+
+# -- Gopher table-A1 quality rules (non-repetition half) ---------------------
+
+
+def _gq(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return textstats.gopher_quality_stats(df).collect()[0]
+
+
+def test_gopher_quality_passing_doc(spark):
+    base = "the data and pipeline run with care. " * 8  # 56 words
+    r = _gq(spark, base.strip())
+    assert r.n_words == 56
+    assert 3.0 <= r.mean_word_len <= 10.0
+    assert r.symbol_word_ratio == 0.0
+    assert r.bullet_line_frac == 0.0
+    assert r.ellipsis_line_frac == 0.0
+    assert r.alpha_word_frac == 1.0
+    assert r.n_stop_hits >= 2
+    assert r.gopher_quality_pass is True
+
+
+def test_gopher_quality_each_rule_fires(spark):
+    base = ("the data and pipeline run with care. " * 8).strip()
+    # word count
+    assert _gq(spark, "the short and tiny doc.").gopher_quality_pass is False
+    # bullets: one bullet line out of two breaches 10%
+    r = _gq(spark, base + "\n• a bullet item starts this line here")
+    assert r.bullet_line_frac == 0.5 and r.gopher_quality_pass is False
+    # ellipsis endings breach 30%
+    r = _gq(spark, base + "\nthis spiked line trails off...")
+    assert r.ellipsis_line_frac == 0.5 and r.gopher_quality_pass is False
+    # symbol ratio: 7 hashes on 63 words > 0.1
+    r = _gq(spark, base + " # # # # # # #")
+    assert r.symbol_word_ratio > 0.1 and r.gopher_quality_pass is False
+    # alpha words: 15 numeric words pull the fraction under 0.8
+    r = _gq(spark, base + " 000" * 15)
+    assert r.alpha_word_frac < 0.8 and r.gopher_quality_pass is False
+    # stop words: no hits in a 54-word doc
+    r = _gq(spark, "data pipeline sort merge join scan " * 9)
+    assert r.n_stop_hits == 0 and r.gopher_quality_pass is False
+    # mean word length under 3
+    r = _gq(spark, "a b c " * 20)
+    assert r.mean_word_len < 3.0 and r.gopher_quality_pass is False
+
+
+def test_gopher_quality_empty_doc_fails_with_nulls(spark):
+    r = _gq(spark, "")
+    assert r.gopher_quality_pass is False
+    assert r.mean_word_len is None and r.alpha_word_frac is None
+
+
+def test_gopher_quality_plan_zero_shuffle_python_free(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (textstats.gopher_quality_stats(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
