@@ -114,6 +114,14 @@ class CorpusConfig:
     # count and pass dsir_target to prepare_training_corpus.
     dsir_k: int | None = None
     dsir_num_buckets: int = 10_000
+    # C4 line-level cleaning (Raffel et al. 2020): rewrite text by the
+    # line rules and drop pages by the page rules BEFORE any other
+    # stage (the published order — C4 cleans raw CC first).  Off by
+    # default: it rewrites the text column, so downstream hashes change.
+    c4_clean: bool = False
+    # Gopher table-A1 quality verdict (non-repetition half) as an
+    # additional heuristic-gate predicate.
+    gopher_quality: bool = False
 
 
 def quality_condition(config: CorpusConfig) -> Column:
@@ -139,6 +147,34 @@ def quality_condition(config: CorpusConfig) -> Column:
     if config.langs is not None:
         cond = cond & F.col("lang_guess").isin(*config.langs)
     return cond
+
+
+def apply_heuristic_gate(
+    df: DataFrame,
+    config: CorpusConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The stateless gate prefix — optional C4 line cleaning, stats
+    annotation, and the quality/repetition(/Gopher-table-A1) predicate
+    — shared VERBATIM by the batch funnel and the streaming gate so the
+    two can never drift.  Returns ``(annotated, filtered)``; every
+    stage is a pure-Column projection/filter, so it runs identically on
+    batch and streaming frames."""
+    if config.c4_clean:
+        from go_crawler_spark.functions.c4 import c4_clean as _c4
+
+        df = _c4(df, text_col=text_col, id_col=id_col).drop(
+            "n_lines_kept", "n_sentences"
+        )
+    annotated = with_text_stats(df, text_col, repetition=True)
+    gate = quality_condition(config)
+    if config.gopher_quality:
+        from go_crawler_spark.functions.textstats import gopher_quality_stats
+
+        annotated = gopher_quality_stats(annotated, text_col=text_col)
+        gate = gate & F.col("gopher_quality_pass")
+    return annotated, annotated.where(gate).select(*df.columns)
 
 
 def prepare_training_corpus(
@@ -189,8 +225,9 @@ def prepare_training_corpus(
     Gumbel top-k over hashed-ngram importance weights against
     ``dsir_target``; exposed as ``"dsir_selected"``.
     """
-    annotated = with_text_stats(df, text_col, repetition=True)
-    filtered = annotated.where(quality_condition(config)).select(*df.columns)
+    annotated, filtered = apply_heuristic_gate(
+        df, config, text_col=text_col, id_col=id_col
+    )
 
     classifier_stage: DataFrame | None = None
     if config.classifier_pareto_shape is not None:

@@ -4,9 +4,10 @@
 What streams and what cannot — stated explicitly, because the split is
 the design:
 
-* **quality gate + Gopher repetition cuts + hash split** — stateless
-  pure-Column expressions, identical plans to batch (the predicate is
-  literally ``corpus.quality_condition``), applied per micro-batch;
+* **quality gate + Gopher repetition cuts (+ optional C4 cleaning and
+  Gopher table-A1 verdict) + hash split** — stateless pure-Column
+  expressions, identical plans to batch (the gate is literally
+  ``corpus.apply_heuristic_gate``), applied per micro-batch;
 * **exact dedup** — bounded state: ``dropDuplicatesWithinWatermark`` on
   the same 128-bit text-hash pair as ``dedup.exact_dedup``
   (``dedup.text_hash_cols``, one shared definition), so state expires
@@ -23,16 +24,14 @@ the design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-import pyspark.sql.functions as F
 
 from go_crawler_spark.functions import sampling
-from go_crawler_spark.functions.corpus import CorpusConfig, quality_condition
+from go_crawler_spark.functions.corpus import CorpusConfig
 from go_crawler_spark.functions.dedup import (
     dedup_survivors_from_pairs,
     minhash_near_dups,
     text_hash_cols,
 )
-from go_crawler_spark.functions.textstats import with_text_stats
 
 
 def streaming_quality_gate(
@@ -42,9 +41,14 @@ def streaming_quality_gate(
 ) -> DataFrame:
     """Quality + repetition gate on a streaming documents frame —
     stateless, so it composes with any downstream sink/trigger.  Keeps
-    the input schema."""
-    annotated = with_text_stats(docs_stream, text_col, repetition=True)
-    return annotated.where(quality_condition(config)).select(*docs_stream.columns)
+    the input schema.  Delegates to ``corpus.apply_heuristic_gate`` —
+    the SAME code the batch funnel runs (including the optional C4
+    cleaning and Gopher table-A1 verdict, both stateless), so batch
+    and stream cannot drift."""
+    from go_crawler_spark.functions.corpus import apply_heuristic_gate
+
+    _, filtered = apply_heuristic_gate(docs_stream, config, text_col=text_col)
+    return filtered
 
 
 def streaming_corpus_prepare(

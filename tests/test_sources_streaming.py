@@ -327,3 +327,55 @@ def test_stream_plus_periodic_near_dup_equals_batch(spark, tmp_path):
     want = sorted((r.doc_id, r.text, r.split) for r in batch.collect())
     assert got == want and got  # near-dups 2 and 4 removed in both paths
     assert {g[0] for g in got} == {1, 3, 6}
+
+
+def test_streaming_gate_honors_c4_and_gopher_flags(spark, tmp_path):
+    """The shared heuristic gate (corpus.apply_heuristic_gate) applies
+    the optional C4 cleaning and Gopher table-A1 verdict identically on
+    a stream and in batch — same survivor ids, same cleaned text."""
+    import pyspark.sql.functions as F
+
+    from go_crawler_spark.functions.corpus import (
+        CorpusConfig, apply_heuristic_gate,
+    )
+    from go_crawler_spark.streaming.corpus import streaming_quality_gate
+
+    good = (
+        "the crawler walks every frontier page and records what it finds. "
+        "each document then moves through a series of gates that measure "
+        "length, symbols, and repetition before anything heavier runs. "
+        "only after those cheap checks have passed does the pipeline pay "
+        "for hashing, clustering, or model scoring of the surviving text."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nPlease enable javascript to proceed."),
+            (3, "var x = { 1 };\n" + good),              # C4 page drop
+            (4, "data pipeline sort merge join scan " * 9),  # no stop words
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "gate_stream")
+    docs.repartition(2).write.parquet(src)
+
+    cfg = CorpusConfig(min_tokens=5, min_quality=0.0, split_weights=None,
+                       c4_clean=True, gopher_quality=True)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    gated = streaming_quality_gate(stream, cfg)
+    q = (gated.writeStream.format("memory").queryName("heur_gate")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.text) for r in spark.table("heur_gate").collect()}
+
+    _, batch_filtered = apply_heuristic_gate(docs, cfg)
+    want = {(r.doc_id, r.text) for r in batch_filtered.collect()}
+    assert got == want
+    got_ids = {i for i, _ in got}
+    assert 1 in got_ids            # clean doc survives
+    assert 3 not in got_ids        # C4 page rule (curly brace) drops
+    assert 4 not in got_ids        # Gopher stop-word rule drops
+    # the javascript line was REWRITTEN away, not the whole page
+    t2 = {t for i, t in got if i == 2}
+    assert t2 and "javascript" not in next(iter(t2)).lower()
