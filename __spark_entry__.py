@@ -2431,6 +2431,73 @@ def gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_stats(spiked).drop("text").orderBy("doc_id")
 
 
+# -- corpus mixing (Pile/LLaMA source weights + epochs) -----------------------
+
+_MIX_WEIGHTS = {
+    "src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0,
+    "src4": 0.5, "src5": 0.5, "src6": 0.25, "src7": 0.25,
+    "src8": 0.25, "src9": 0.25,
+}
+_MIX_BUDGET = 26_000
+
+_MIX_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, source, len({_TOKS_SQL}) AS ntok FROM documents
+    ),
+    census AS (
+      SELECT source, sum(ntok) AS n_tokens FROM tok GROUP BY source
+    ),
+    w(source, w) AS (VALUES
+      {", ".join(f"('{s}', {v})" for s, v in sorted(_MIX_WEIGHTS.items()))}
+    ),
+    rates AS (
+      SELECT c.source,
+             least(w.w / {sum(_MIX_WEIGHTS.values())} * {_MIX_BUDGET}.0
+                   / c.n_tokens, 10.0) AS rate
+      FROM census c JOIN w USING (source)
+    ),
+    docs AS (
+      SELECT t.doc_id, t.source,
+             CAST(floor(r.rate) AS INT)
+             + CASE WHEN CAST(('0x' || substr(md5(
+                      CAST(t.doc_id AS VARCHAR) || ':m'), 1, 15)) AS BIGINT)
+                    / 1152921504606846976.0 < r.rate - floor(r.rate)
+                    THEN 1 ELSE 0 END AS n
+      FROM tok t JOIN rates r USING (source)
+    )
+    SELECT doc_id, source, CAST(u.e AS INT) AS epoch
+    FROM docs, unnest(generate_series(1, n)) AS u(e)
+    WHERE n > 0
+    ORDER BY doc_id, epoch
+"""
+
+
+@_q("corpus_mixture", _MIX_ORACLE)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pile/LLaMA-style corpus mixing (Gao et al. 2021; Touvron et al.
+    2023 table 1): per-source target weights + a token budget become
+    sampling rates (rate > 1 = epoch repetition of quality sources,
+    rate < 1 = down-sampling, unweighted sources dropped), materialized
+    deterministically — floor(rate) whole copies plus a hash-gated
+    fractional copy, epoch-numbered.  functions/mixing.py: one tiny
+    groupBy census broadcast back, then a zero-shuffle explode.
+    Cross-engine uniform: md5 60-bit prefix (production: xxhash64)."""
+    from go_crawler_spark.functions import mixing
+    from go_crawler_spark.functions.dedup import md5_hash64_col
+
+    d = _read(spark, sf_dir, "documents")
+    census = mixing.source_token_census(d)
+    rates = mixing.mixture_rates(census, _MIX_WEIGHTS, _MIX_BUDGET)
+    u = md5_hash64_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":m"))
+    ) / F.lit(float(1 << 60))
+    return (
+        mixing.mix_corpus(d, rates, u=u)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

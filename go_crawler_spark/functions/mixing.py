@@ -1,0 +1,111 @@
+"""Deterministic corpus mixing by source (the Pile / LLaMA recipe).
+
+Pretraining corpora are MIXTURES: each source (web, books, code, wiki)
+gets a target weight, and high-quality sources are *up-sampled* by
+repeating them for more than one epoch (The Pile, Gao et al. 2021,
+arXiv:2101.00027 — e.g. Wikipedia at 3 epochs; LLaMA, Touvron et al.
+2023, table 1 publishes exactly such weight/epoch pairs).  Given
+per-source target weights and a total token budget, this module
+computes per-source sampling RATES (rate = weight * budget /
+source_tokens; a rate > 1 means repetition) and materializes the mixed
+corpus deterministically:
+
+* each document appears ``floor(rate)`` times whole, and one more time
+  with probability ``frac(rate)`` — decided by ``unit_hash(id)``, so
+  membership is reproducible, partition-independent, and subset-stable
+  (the guarantees everything in ``sampling.py`` carries);
+* repetitions are materialized as an ``epoch`` column via
+  ``explode(sequence(...))`` — a pure Column expression, zero shuffle;
+  downstream shuffles (the trainer's global shuffle) see distinct
+  (id, epoch) rows.
+
+Scale shape: ONE groupBy(source) for the token census (a handful of
+rows — broadcast back onto the corpus), then a zero-shuffle
+explode+filter projection.  No Python anywhere.
+
+No counterpart in the Go reference; beyond-reference LLM-corpus layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from go_crawler_spark.functions.sampling import unit_hash
+from go_crawler_spark.functions.textstats import token_count_col
+
+__all__ = ["source_token_census", "mixture_rates", "mix_corpus"]
+
+
+def source_token_census(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(source, n_docs, n_tokens) — one small groupBy; map-side partial
+    aggregation means the exchange carries one row per (task, source)."""
+    return df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col(text_col)).alias("n_tokens"),
+    )
+
+
+def mixture_rates(
+    census: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    max_epochs: float = 10.0,
+) -> DataFrame:
+    """Per-source sampling rate table: ``rate = weight_norm *
+    token_budget / n_tokens``, capped at ``max_epochs`` (unbounded
+    repetition of a tiny source degrades training — the published
+    mixtures stay in low single digits).  Sources absent from
+    ``weights`` get rate 0 (dropped).  Weights are normalized so they
+    need not sum to 1.  Returns ``(source, rate)`` — tiny, meant to be
+    broadcast."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    pairs = [(s, float(w) / total_w) for s, w in sorted(weights.items())]
+    wdf = census.sparkSession.createDataFrame(
+        pairs, f"{source_col} string, _w double"
+    )
+    return (
+        census.join(wdf, source_col, "inner")
+        .select(
+            source_col,
+            F.least(
+                F.col("_w") * F.lit(float(token_budget)) / F.col("n_tokens"),
+                F.lit(float(max_epochs)),
+            ).alias("rate"),
+        )
+    )
+
+
+def mix_corpus(
+    df: DataFrame,
+    rates: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    u: Column | None = None,
+) -> DataFrame:
+    """Materialize the mixture: every row of ``df`` whose source has
+    rate r appears ``floor(r)`` times plus one more iff
+    ``unit_hash(id, seed) < frac(r)``, with an ``epoch`` column
+    (1-based) distinguishing the copies.  The rates table is broadcast;
+    the expansion is ``explode(sequence(1, n_copies))`` — zero shuffle,
+    no Python.  Pass ``u`` to override the uniform source (cross-engine
+    oracles use an md5-derived uniform DuckDB can reproduce)."""
+    n_whole = F.floor("rate").cast("int")
+    frac = F.col("rate") - F.floor("rate")
+    uu = unit_hash(F.col(id_col), seed=seed) if u is None else u
+    extra = (uu < frac).cast("int")
+    return (
+        df.join(F.broadcast(rates), source_col, "inner")
+        .withColumn("_n", n_whole + extra)
+        .where(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("rate", "_n")
+    )
