@@ -60,6 +60,12 @@ QUERIES = [
     "text_quality_stats",
     "paragraph_dedup_docs",
     "lm_perplexity_scores",
+    "nb_quality_scores",
+    "dsir_log_weights",
+    "url_gate_survivors",
+    "c4_cleaned_pages",
+    "gopher_quality_signals",
+    "corpus_mixture",
 ]
 
 

