@@ -9,7 +9,11 @@ signatures, partitioning) is real and tested.  Codec coverage is split:
   (:func:`decode_ppm`), no Pillow required; ``image_features(fake=False)``
   runs decode -> grayscale -> nearest-neighbor resize -> phash/entropy
   end-to-end on real bytes (``synth_media`` emits genuine P6 payloads).
-* Compressed codecs (JPEG/PNG/ffmpeg) are NOT available in this
+* **WAV (RIFF PCM16) audio decodes for real** — a numpy/stdlib chunk
+  parser (:func:`decode_wav`); ``audio_features(fake=False)`` computes
+  duration/RMS/peak/zero-crossings on the decoded signal end-to-end
+  (``synth_media`` emits genuine seeded sine+noise WAV payloads).
+* Compressed codecs (JPEG/PNG/mp3/ffmpeg) are NOT available in this
   container: those mimes raise ``NotImplementedError`` under
   ``fake=False``, and ``fake=True`` keeps the deterministic stand-in
   kernels.  Swapping in Pillow/ffmpeg later only replaces the kernel
@@ -107,9 +111,10 @@ def synth_media(spark, n: int = 100) -> DataFrame:
     """Deterministic fake media table (seeded bytes).
 
     Image rows carry REAL binary-PPM payloads (seeded rgb pixels,
-    variable small dims) so the ``fake=False`` decode path runs
-    end-to-end on genuine bytes; audio/video payloads stay opaque
-    seeded blobs (their codecs are environment-gated)."""
+    variable small dims) and audio rows REAL RIFF/WAVE PCM16 payloads
+    (seeded sine + noise, variable length/rate) so both ``fake=False``
+    decode paths run end-to-end on genuine bytes; video payloads stay
+    opaque seeded blobs (ffmpeg is environment-gated)."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids = b["id"].to_numpy()
@@ -123,10 +128,22 @@ def synth_media(spark, n: int = 100) -> DataFrame:
                         rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                     )
                     mime = PPM_MIME
+                elif kind == "audio":
+                    w = h = None
+                    rate = [8_000, 16_000, 44_100][int(i) % 3]
+                    n_s = 64 + int(i) % 200
+                    t = np.arange(n_s) / rate
+                    freq = 200.0 + (int(i) % 40) * 25.0
+                    sig = 8_000.0 * np.sin(2 * np.pi * freq * t)
+                    sig = sig + 500.0 * rng.standard_normal(n_s)
+                    payload = encode_wav(
+                        np.clip(sig, -32768, 32767).astype(np.int16), rate
+                    )
+                    mime = WAV_MIME
                 else:
                     w = h = None
                     payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
-                    mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
+                    mime = "video/mp4"
                 rows.append(
                     {
                         "media_id": int(i),
@@ -135,12 +152,74 @@ def synth_media(spark, n: int = 100) -> DataFrame:
                         "mime": mime,
                         "width": w if kind == "image" else (64 + int(i) % 512 if kind == "video" else None),
                         "height": h if kind == "image" else (64 + int(i) % 256 if kind == "video" else None),
-                        "duration_ms": 1000 + int(i) * 10 if kind != "image" else None,
+                        # audio metadata agrees with the real payload
+                        "duration_ms": (
+                            int(1000 * n_s / rate) if kind == "audio"
+                            else 1000 + int(i) * 10 if kind == "video"
+                            else None
+                        ),
                     }
                 )
             yield pd.DataFrame(rows)
 
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+WAV_MIME = "audio/wav"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM16 bytes, pure numpy/stdlib."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim != 1:
+        raise ValueError(f"expected 1-D mono samples, got shape {s.shape}")
+    data = s.tobytes()
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )  # PCM, mono, rate, byte-rate, block-align 2, 16-bit
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16-mono bytes -> (int16 samples, sample_rate), pure
+    numpy/stdlib.
+
+    A real decoder for the one audio container that needs no codec
+    library: walks the RIFF chunk list (tolerating extra chunks like
+    LIST/INFO, honoring odd-size padding), requires format tag 1 (PCM),
+    mono, 16-bit.  Compressed formats (mp3/aac/ogg) stay behind the
+    NotImplementedError gate in :func:`audio_features`.
+    """
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        chunk = buf[pos + 8 : pos + 8 + size]
+        if len(chunk) != size:
+            raise ValueError(f"truncated {cid!r} chunk: want {size} bytes")
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (tag={tag}, bits={bits})")
+    if channels != 1:
+        raise ValueError(f"only mono supported, got {channels} channels")
+    if len(data) % 2:
+        raise ValueError("PCM16 data chunk has odd length")
+    return np.frombuffer(data, dtype="<i2"), rate
 
 
 def _byte_entropy(buf: bytes) -> float:
@@ -261,6 +340,77 @@ def image_features(media: DataFrame, fake: bool = True, thumb_size: int = 8) -> 
 
     imgs = media.where(F.col("kind") == "image")
     return imgs.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode → signal stats, as Arrow-batched ``mapInPandas`` — the
+    audio twin of :func:`image_features`.
+
+    ``fake=False`` is the REAL path for RIFF/WAVE PCM16 payloads
+    (:func:`decode_wav`): duration from the fmt chunk's sample rate,
+    RMS / peak / zero-crossing rate over the decoded int16 signal —
+    the standard cheap quality gates an audio corpus pipeline cuts on
+    (silence, clipping, noise).  Any non-WAV mime under ``fake=False``
+    raises ``NotImplementedError`` (mp3/aac need codec libraries,
+    absent in this container).  ``fake=True`` computes the same stats
+    over the raw payload bytes REINTERPRETED as int16 at a nominal
+    16 kHz — deterministic stand-in, same schema and plan shape.
+    """
+    cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+
+    def stats(sig: np.ndarray, rate: int, n_bytes: int, mid: int) -> dict:
+        n = len(sig)
+        f = sig.astype(np.float64)
+        rms = float(np.sqrt((f * f).mean())) if n else 0.0
+        peak = int(np.abs(sig).max()) if n else 0
+        zc = float((np.signbit(f[1:]) != np.signbit(f[:-1])).mean()) if n > 1 else 0.0
+        return {
+            "media_id": mid,
+            "n_bytes": n_bytes,
+            "sample_rate": rate,
+            "n_samples": n,
+            "duration_ms": 1000.0 * n / rate if rate else 0.0,
+            "rms": rms,
+            "peak": peak,
+            "zero_cross_rate": zc,
+        }
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, mime, payload in zip(b["media_id"], b["mime"], b["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                if not fake:
+                    if mime != WAV_MIME:
+                        raise NotImplementedError(
+                            f"real decode for mime {mime!r} requires an "
+                            "audio codec library, not present in this "
+                            "container (only RIFF/WAVE PCM16 decodes "
+                            "natively)"
+                        )
+                    sig, rate = decode_wav(buf)
+                else:
+                    sig = np.frombuffer(buf[: len(buf) & ~1], dtype="<i2")
+                    rate = 16_000
+                out.append(stats(sig, rate, len(buf), int(mid)))
+            yield pd.DataFrame(out, columns=cols)
+
+    auds = media.where(F.col("kind") == "audio")
+    return auds.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(
