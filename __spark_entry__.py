@@ -2498,6 +2498,55 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- sequence packing (GPT-style concat-and-chunk) ----------------------------
+
+_PACK_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p'),
+                                  1, 15)) AS BIGINT)
+             / 1152921504606846976.0 AS u
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(sum(n_tokens + 1) OVER (
+               ORDER BY u, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS "offset"
+      FROM t
+    )
+    SELECT doc_id, n_tokens, "offset",
+           "offset" // 512 AS first_chunk,
+           ("offset" + greatest(n_tokens - 1, 0)) // 512 AS last_chunk
+    FROM sc ORDER BY doc_id
+"""
+
+
+@_q("pack_assignments", _PACK_ORACLE)
+def pack_assignments_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: every document's global token offset
+    and first/last 512-token chunk in the deterministically-shuffled
+    concatenated stream (1 separator token between docs).  The oracle
+    is the NAIVE ``sum() OVER (ORDER BY ...)`` global window; the
+    engine (functions/packing.py) computes the identical result as a
+    two-phase distributed prefix sum — parallel per-bucket scans plus
+    an O(B) base-offset window — because an unpartitioned global-order
+    window collapses Spark onto one partition and does not survive
+    100 TB.  Cross-engine ordering uniform: md5 60-bit prefix."""
+    from go_crawler_spark.functions import packing
+    from go_crawler_spark.functions.dedup import md5_hash64_col
+
+    d = _read(spark, sf_dir, "documents")
+    u = md5_hash64_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":p"))
+    ) / F.lit(float(1 << 60))
+    return (
+        packing.pack_assignments(d, seq_len=512, num_buckets=16, u=u)
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

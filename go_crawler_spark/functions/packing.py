@@ -1,0 +1,126 @@
+"""Deterministic sequence packing (the GPT-style concat-and-chunk).
+
+LM pretraining consumes fixed-length token sequences, not documents:
+the corpus is laid out in one deterministic order, token counts are
+accumulated, and the stream is cut into ``seq_len``-sized chunks — each
+document lands at a global token offset, possibly straddling a chunk
+boundary (GPT-2/3 pack exactly this way, with document separators).
+This module computes each document's ``(global_offset, first_chunk,
+last_chunk)`` assignment — the shuffle-free metadata a writer needs to
+emit packed sequences — without ever materializing the concatenation.
+
+The core is a **distributed prefix sum**, the textbook two-phase shape
+(local scan + broadcast of per-partition totals), because the naive
+``sum() OVER (ORDER BY key)`` window collapses Spark onto a SINGLE
+partition (an unpartitioned global-order window is explicitly the thing
+that does not survive 100 TB):
+
+1. every doc gets a deterministic position key ``(bucket, u, id)`` —
+   bucket = top bits of the same hash that orders within buckets, so
+   bucket order == global order and the layout is reproducible and
+   partition-independent;
+2. cumulative token counts run in PARALLEL per bucket
+   (``Window.partitionBy(bucket)`` — B independent scans);
+3. per-bucket totals (B rows) are summed into bucket base offsets with
+   a tiny single-partition window — O(B), not O(corpus) — and
+   broadcast back.
+
+The DuckDB oracle states the same result as the naive global window —
+the two-phase decomposition must be bit-identical to it, which is
+exactly what the driver entry checks.
+
+No counterpart in the Go reference; beyond-reference LLM-corpus layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from go_crawler_spark.functions.sampling import unit_hash
+from go_crawler_spark.functions.textstats import token_count_col
+
+__all__ = ["pack_assignments"]
+
+
+def pack_assignments(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    seed: int = 42,
+    sep_tokens: int = 1,
+    u=None,
+) -> DataFrame:
+    """Assign every document its place in the packed token stream.
+
+    Documents are laid out in ``unit_hash`` order (the deterministic
+    corpus shuffle trainers want), each occupying ``n_tokens +
+    sep_tokens`` positions (the separator the GPT recipe inserts
+    between documents).  Returns ``(id_col, n_tokens, offset,
+    first_chunk, last_chunk)`` where ``offset`` is the document's first
+    token's global position and chunks are ``seq_len``-sized.
+
+    ``u`` overrides the ordering uniform (cross-engine oracles pass an
+    md5-derived one); ``num_buckets`` sizes the parallel scan — any
+    value yields the SAME assignment, it only changes parallelism.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be > 0, got {seq_len}")
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be > 0, got {num_buckets}")
+    uu = unit_hash(F.col(id_col), seed=seed) if u is None else u
+    base = df.select(
+        F.col(id_col),
+        token_count_col(text_col).alias("n_tokens"),
+        uu.alias("_u"),
+    ).withColumn(
+        # top bits of the SAME uniform that orders within the bucket:
+        # bucket boundaries respect the global (_u, id) order
+        "_bucket",
+        F.least(
+            F.floor(F.col("_u") * num_buckets).cast("int"),
+            F.lit(num_buckets - 1),
+        ),
+    ).withColumn("_sz", F.col("n_tokens") + F.lit(sep_tokens))
+
+    # phase 1: parallel per-bucket scan (exclusive prefix sum)
+    w_local = (
+        Window.partitionBy("_bucket")
+        .orderBy("_u", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = base.withColumn(
+        "_local_end", F.sum("_sz").over(w_local)
+    )
+
+    # phase 2: O(B) bucket base offsets — tiny window, broadcast back
+    totals = scanned.groupBy("_bucket").agg(F.sum("_sz").alias("_tot"))
+    w_base = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    bases = totals.withColumn(
+        "_base", F.coalesce(F.sum("_tot").over(w_base), F.lit(0))
+    ).select("_bucket", "_base")
+
+    out = (
+        scanned.join(F.broadcast(bases), "_bucket")
+        .withColumn(
+            "offset", F.col("_base") + F.col("_local_end") - F.col("_sz")
+        )
+        .withColumn("first_chunk", F.floor(F.col("offset") / seq_len))
+        .withColumn(
+            # last token of the doc itself (separator excluded); empty
+            # docs occupy only their separator and live in one chunk
+            "last_chunk",
+            F.floor(
+                (
+                    F.col("offset")
+                    + F.greatest(F.col("n_tokens") - 1, F.lit(0))
+                ) / seq_len
+            ),
+        )
+    )
+    return out.select(id_col, "n_tokens", "offset", "first_chunk", "last_chunk")

@@ -1,0 +1,97 @@
+"""Distributed sequence packing — two-phase prefix sum correctness."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from go_crawler_spark.functions import packing
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _expected(rows, seq_len, sep=1):
+    """Naive single-threaded packing over (u, id) order."""
+    order = sorted(rows, key=lambda r: (r["u"], r["doc_id"]))
+    off, out = 0, {}
+    for r in order:
+        n = r["n"]
+        out[r["doc_id"]] = (
+            off,
+            off // seq_len,
+            (off + max(n - 1, 0)) // seq_len,
+        )
+        off += n + sep
+    return out
+
+
+def test_matches_naive_packing_and_bucket_invariance(spark):
+    texts = [
+        "one two three",
+        "a b c d e f g",
+        "",
+        "just two",
+        "w " * 19,  # 19 tokens: straddles the 8-token chunk boundary
+        "solo",
+    ]
+    df = _docs(spark, texts)
+    u = (F.col("doc_id") * 37 % 100).cast("double") / 100.0
+    rows = [
+        {"doc_id": i, "u": (i * 37 % 100) / 100.0,
+         "n": len([w for w in t.split() if w])}
+        for i, t in enumerate(texts)
+    ]
+    want = _expected(rows, seq_len=8)
+
+    results = {}
+    for b in (1, 3, 64):
+        got = {
+            r.doc_id: (r.offset, r.first_chunk, r.last_chunk)
+            for r in packing.pack_assignments(
+                df, seq_len=8, num_buckets=b, u=u
+            ).collect()
+        }
+        assert got == want, f"num_buckets={b}"
+        results[b] = got
+    # bucket count is parallelism only, never layout
+    assert results[1] == results[64]
+
+
+def test_offsets_tile_the_stream_exactly(spark, ):
+    df = _docs(spark, [f"tok " * (i % 7 + 1) for i in range(200)])
+    out = packing.pack_assignments(df, seq_len=16, num_buckets=8).collect()
+    spans = sorted((r.offset, r.n_tokens) for r in out)
+    pos = 0
+    for off, n in spans:
+        assert off == pos  # every doc starts where the previous ended
+        pos = off + n + 1  # + separator
+    total = sum(n + 1 for _, n in spans)
+    assert pos == total
+
+
+def test_chunk_math_and_validation(spark):
+    df = _docs(spark, ["w " * 20])  # 20 tokens, seq_len 8
+    r = packing.pack_assignments(df, seq_len=8).collect()[0]
+    assert (r.offset, r.first_chunk, r.last_chunk) == (0, 0, 2)
+    with pytest.raises(ValueError):
+        packing.pack_assignments(df, seq_len=0)
+    with pytest.raises(ValueError):
+        packing.pack_assignments(df, seq_len=8, num_buckets=0)
+
+
+def test_deterministic_and_subset_consistent_order(spark):
+    df = _docs(spark, [f"word {i} text here" for i in range(100)])
+    a = packing.pack_assignments(df, seq_len=32).collect()
+    b = packing.pack_assignments(df, seq_len=32).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the RELATIVE order of surviving docs is hash-stable: packing a
+    # subset keeps the same neighbor order (offsets shift, order doesn't)
+    sub = df.where(F.col("doc_id") % 2 == 0)
+    full_order = [r.doc_id for r in sorted(a, key=lambda r: r.offset)
+                  if r.doc_id % 2 == 0]
+    sub_order = [r.doc_id for r in sorted(
+        packing.pack_assignments(sub, seq_len=32).collect(),
+        key=lambda r: r.offset)]
+    assert full_order == sub_order
