@@ -187,6 +187,10 @@ def main() -> None:
         "nb_quality_scores",
         "dsir_log_weights",
         "url_gate_survivors",
+        "c4_cleaned_pages",
+        "gopher_quality_signals",
+        "corpus_mixture",
+        "pack_assignments",
         "user_sessions",
         "duplicate_spans",
         "contamination_spans",

@@ -66,6 +66,7 @@ QUERIES = [
     "c4_cleaned_pages",
     "gopher_quality_signals",
     "corpus_mixture",
+    "pack_assignments",
 ]
 
 
