@@ -2547,6 +2547,111 @@ def pack_assignments_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- incremental (snapshot-over-snapshot) dedup -------------------------------
+
+_INC_EXACT_ORACLE = """
+    WITH spiked AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+                  THEN 'shared snapshot boilerplate page number '
+                       || CAST((doc_id % 27) // 9 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    accepted AS (SELECT * FROM spiked WHERE doc_id % 2 = 0),
+    new_batch AS (SELECT * FROM spiked WHERE doc_id % 2 = 1),
+    in_batch AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM new_batch
+      ) WHERE rn = 1
+    )
+    SELECT b.doc_id FROM in_batch b
+    ANTI JOIN accepted a ON b.text = a.text
+    ORDER BY b.doc_id
+"""
+
+
+@_q("incremental_exact_survivors", _INC_EXACT_ORACLE)
+def incremental_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot exact dedup (the recurring-crawl reality:
+    each new dump dedups against everything already accepted): odd-id
+    docs are the new batch, even-id docs the accepted corpus whose
+    128-bit text-hash set is the persisted index.  One anti equi-join
+    against O(corpus) 16-byte rows — work scales with the new batch.
+    Multiples of 9 are spiked to 3 shared boilerplate texts so BOTH
+    drop rules fire non-vacuously: odd multiples dedup within the
+    batch, and their survivors then fall to even multiples already in
+    the index (testdata carries no natural exact text dups).
+    functions/incremental.py; the oracle states the same rule with
+    direct text equality (hash == text modulo 128-bit collisions)."""
+    from go_crawler_spark.functions import incremental
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.lit("shared snapshot boilerplate page number "),
+                F.floor((F.col("doc_id") % 27) / 9).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    accepted = d.where(F.col("doc_id") % 2 == 0)
+    new_batch = d.where(F.col("doc_id") % 2 == 1)
+    idx = incremental.exact_hash_index(accepted)
+    return (
+        incremental.incremental_exact_dedup(new_batch, idx)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_INC_NEAR_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_shingle_sql(3)} AS s FROM t),
+    pairs AS (
+      SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+             len(list_intersect(n.s, o.s))::DOUBLE
+               / len(list_distinct(n.s || o.s)) AS jaccard
+      FROM sh n JOIN sh o
+        ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+    )
+    SELECT new_id, old_id, round(jaccard, 6) AS jaccard
+    FROM pairs WHERE jaccard >= {_MINHASH_THRESHOLD}
+    ORDER BY new_id, old_id
+"""
+
+
+@_q("incremental_neardup_matches", _INC_NEAR_ORACLE)
+def incremental_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot NEAR dedup: the accepted corpus persists
+    a MinHash index (LSH band keys + hashed shingle sets); the new
+    batch is banded identically and equi-joins the band index — an
+    asymmetric probe whose work scales with the new batch, never a
+    self-join over old ∪ new — then candidates verify with exact
+    Jaccard.  Oracle: brute-force new×old Jaccard (the banding's
+    >=99.9%-recall guarantee makes the two sets equal on this data,
+    the same argument as dedup_minhash_pairs)."""
+    from go_crawler_spark.functions import incremental
+
+    d = _read(spark, sf_dir, "documents")
+    accepted = d.where(F.col("doc_id") % 2 == 0)
+    new_batch = d.where(F.col("doc_id") % 2 == 1)
+    idx = incremental.minhash_index(
+        accepted, shingle_k=3, jaccard_threshold=_MINHASH_THRESHOLD
+    )
+    return (
+        incremental.incremental_minhash_matches(
+            new_batch, idx, shingle_k=3,
+            jaccard_threshold=_MINHASH_THRESHOLD,
+        )
+        .select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("new_id", "old_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 
