@@ -2652,6 +2652,30 @@ def incremental_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- BPE tokenizer training ----------------------------------------------------
+
+
+@_q("bpe_merges")  # rows-only BY DESIGN: k data-dependent argmax rounds
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich et al. 2016): 24 merges
+    learned from the corpus word-frequency table — ONE corpus-scale
+    groupBy, then k rounds of pair-count/argmax/fuse over the tiny
+    vocab table (functions/bpe.py).  No SQL oracle: an iterative
+    data-dependent-argmax algorithm is the round brief's stated
+    exemption; correctness is pinned by the classic Sennrich golden
+    and a pure-Python differential trainer in tests/test_bpe.py
+    (implementation diversity, the SimHash device).  Deterministic:
+    ties break (count desc, pair asc)."""
+    from go_crawler_spark.functions import bpe
+
+    d = _read(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(d, num_merges=24)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).orderBy("rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

@@ -191,6 +191,8 @@ def main() -> None:
         "gopher_quality_signals",
         "corpus_mixture",
         "pack_assignments",
+        "incremental_exact_survivors",
+        "incremental_neardup_matches",
         "user_sessions",
         "duplicate_spans",
         "contamination_spans",

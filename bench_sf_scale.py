@@ -67,6 +67,8 @@ QUERIES = [
     "gopher_quality_signals",
     "corpus_mixture",
     "pack_assignments",
+    "incremental_exact_survivors",
+    "incremental_neardup_matches",
 ]
 
 
