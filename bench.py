@@ -193,6 +193,7 @@ def main() -> None:
         "pack_assignments",
         "incremental_exact_survivors",
         "incremental_neardup_matches",
+        "bpe_merges",
         "user_sessions",
         "duplicate_spans",
         "contamination_spans",

@@ -69,6 +69,7 @@ QUERIES = [
     "pack_assignments",
     "incremental_exact_survivors",
     "incremental_neardup_matches",
+    "bpe_merges",
 ]
 
 
