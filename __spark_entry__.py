@@ -2355,7 +2355,7 @@ _GOPHER_Q_ORACLE = f"""
         len(words) AS n_words,
         CASE WHEN len(words) > 0 THEN
           round(CAST(list_sum(list_transform(words, w -> length(w)))
-                     AS DOUBLE) / len(words), 6) END AS mean_word_len,
+                     AS DOUBLE) / len(words), 6) END AS gopher_mean_word_len,
         CASE WHEN len(words) > 0 THEN
           round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
                      AS DOUBLE) / len(words), 6) END AS symbol_word_ratio,
@@ -2378,7 +2378,7 @@ _GOPHER_Q_ORACLE = f"""
     SELECT *,
       COALESCE(
         n_words BETWEEN 50 AND 100000
-        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND gopher_mean_word_len BETWEEN 3.0 AND 10.0
         AND symbol_word_ratio <= 0.1
         AND bullet_line_frac <= 0.10
         AND ellipsis_line_frac <= 0.30

@@ -51,6 +51,14 @@ __all__ = [
     "pareto_quality_gate",
 ]
 
+# Decorrelation offset: the gate's uniform must be INDEPENDENT of
+# sampling.split_col's stream (both default to unit_hash(id, seed)).
+# With one shared u, "kept" is exactly "u > t(score)" while "train" is
+# "u < 0.98" — so kept mid-score docs pile into the val/test tail
+# (a score-0.5 doc would land in train only ~23% of the time instead
+# of 98%).  A stage-specific seed offset gives an independent hash.
+_PARETO_SEED_OFFSET = 1_000_003
+
 
 def _token_occurrences(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, token) — one row per token OCCURRENCE (multinomial NB counts
@@ -185,7 +193,7 @@ def pareto_gate_col(
     Pass ``u`` to override the uniform source (cross-engine oracles use
     an md5-derived uniform DuckDB can reproduce)."""
     if u is None:
-        u = unit_hash(id_key, seed=seed)
+        u = unit_hash(id_key, seed=seed + _PARETO_SEED_OFFSET)
     pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / shape)) - F.lit(1.0)
     return pareto > (F.lit(1.0) - score)
 

@@ -228,6 +228,12 @@ def prepare_training_corpus(
     annotated, filtered = apply_heuristic_gate(
         df, config, text_col=text_col, id_col=id_col
     )
+    if config.classifier_pareto_shape is not None and config.persist_intermediate:
+        # the classifier consumes `filtered` three times (negatives,
+        # scoring target, semi-join) and exact_dedup re-derives it —
+        # same recompute hazard persist_intermediate already covers for
+        # the exact stage; caller owns unpersist()
+        filtered = filtered.persist()
 
     classifier_stage: DataFrame | None = None
     if config.classifier_pareto_shape is not None:

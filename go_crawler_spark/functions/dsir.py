@@ -50,6 +50,13 @@ __all__ = [
     "gumbel_topk",
 ]
 
+# Decorrelation offset: the Gumbel key is monotone in its uniform, so
+# sharing sampling.split_col's unit_hash(id, seed) stream would bias
+# DSIR-selected docs into the top-u (val/test) hash region.  A
+# stage-specific seed offset gives an independent draw (same device as
+# classifier._PARETO_SEED_OFFSET).
+_GUMBEL_SEED_OFFSET = 2_000_003
+
 
 def _grams_col(text: Column) -> Column:
     """Unigrams ++ space-joined bigrams (the DSIR feature set).  The
@@ -161,7 +168,11 @@ def gumbel_topk(
     by id for full determinism."""
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
-    uu = unit_hash(F.col(id_col), seed=seed) if u is None else u
+    uu = (
+        unit_hash(F.col(id_col), seed=seed + _GUMBEL_SEED_OFFSET)
+        if u is None
+        else u
+    )
     keyed = weighted.withColumn(
         "gumbel_key", F.col(weight_col) - F.log(-F.log(uu))
     )

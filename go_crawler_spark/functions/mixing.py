@@ -36,6 +36,13 @@ from go_crawler_spark.functions.textstats import token_count_col
 
 __all__ = ["source_token_census", "mixture_rates", "mix_corpus"]
 
+# Decorrelation offset: the fractional-copy gate is "u < frac(rate)",
+# so sharing sampling.split_col's unit_hash(id, seed) stream would
+# skew fractionally-kept docs toward the low-u (train) hash region.
+# Stage-specific seed offset = independent draw (the same device as
+# classifier/dsir use).
+_MIX_SEED_OFFSET = 3_000_003
+
 
 def source_token_census(
     df: DataFrame, source_col: str = "source", text_col: str = "text"
@@ -61,7 +68,12 @@ def mixture_rates(
     mixtures stay in low single digits).  Sources absent from
     ``weights`` get rate 0 (dropped).  Weights are normalized so they
     need not sum to 1.  Returns ``(source, rate)`` — tiny, meant to be
-    broadcast."""
+    broadcast.
+
+    Sources with zero (or NULL) counted tokens are DROPPED, not rated:
+    under ANSI SQL the division would raise, and a NULL rate would
+    slip through the ``least`` cap as max_epochs — a garbage source
+    silently up-sampled 10x (both verified on Spark 4)."""
     if token_budget <= 0:
         raise ValueError(f"token_budget must be > 0, got {token_budget}")
     total_w = float(sum(weights.values()))
@@ -72,7 +84,8 @@ def mixture_rates(
         pairs, f"{source_col} string, _w double"
     )
     return (
-        census.join(wdf, source_col, "inner")
+        census.where(F.col("n_tokens") > 0)
+        .join(wdf, source_col, "inner")
         .select(
             source_col,
             F.least(
@@ -100,7 +113,11 @@ def mix_corpus(
     oracles use an md5-derived uniform DuckDB can reproduce)."""
     n_whole = F.floor("rate").cast("int")
     frac = F.col("rate") - F.floor("rate")
-    uu = unit_hash(F.col(id_col), seed=seed) if u is None else u
+    uu = (
+        unit_hash(F.col(id_col), seed=seed + _MIX_SEED_OFFSET)
+        if u is None
+        else u
+    )
     extra = (uu < frac).cast("int")
     return (
         df.join(F.broadcast(rates), source_col, "inner")

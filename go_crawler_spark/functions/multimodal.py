@@ -212,6 +212,8 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"WAV fmt chunk too short ({len(fmt)} < 16 bytes)")
     tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
     if tag != 1 or bits != 16:
         raise ValueError(f"only PCM16 supported (tag={tag}, bits={bits})")
@@ -376,7 +378,10 @@ def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
         n = len(sig)
         f = sig.astype(np.float64)
         rms = float(np.sqrt((f * f).mean())) if n else 0.0
-        peak = int(np.abs(sig).max()) if n else 0
+        # peak on the float copy: np.abs on int16 wraps -32768 to
+        # -32768, silently passing the exact clipping case this gate
+        # exists to catch
+        peak = int(np.abs(f).max()) if n else 0
         zc = float((np.signbit(f[1:]) != np.signbit(f[:-1])).mean()) if n > 1 else 0.0
         return {
             "media_id": mid,

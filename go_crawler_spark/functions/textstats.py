@@ -509,7 +509,11 @@ def gopher_quality_stats(
     Signals and published thresholds:
 
     * ``n_words`` in [50, 100000] — whitespace words, the paper's unit;
-    * ``mean_word_len`` in [3, 10];
+    * ``gopher_mean_word_len`` in [3, 10] (whitespace-word semantics,
+      NULL for empty docs — deliberately NOT the ``mean_word_len``
+      with_text_stats emits, whose tokenizer semantics and 0.0-on-empty
+      policy differ; distinct names keep the two from shadowing each
+      other when both annotate one frame);
     * ``symbol_word_ratio`` (# and ellipsis occurrences / words) <= 0.1;
     * ``bullet_line_frac`` <= 0.10 ("90% of lines do not start with a
       bullet"; bullets here: ``•``, ``-``, ``*``);
@@ -569,7 +573,7 @@ def gopher_quality_stats(
     )
     out = (
         df.withColumn("n_words", n_words)
-        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("gopher_mean_word_len", F.round(mean_word_len, 6))
         .withColumn("symbol_word_ratio", F.round(symbol_ratio, 6))
         .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
         .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 6))
@@ -578,7 +582,7 @@ def gopher_quality_stats(
     )
     passed = (
         F.col("n_words").between(50, 100_000)
-        & F.col("mean_word_len").between(3.0, 10.0)
+        & F.col("gopher_mean_word_len").between(3.0, 10.0)
         & (F.col("symbol_word_ratio") <= 0.1)
         & (F.col("bullet_line_frac") <= 0.10)
         & (F.col("ellipsis_line_frac") <= 0.30)

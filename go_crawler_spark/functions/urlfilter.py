@@ -64,11 +64,11 @@ DEFAULT_WORD_WEIGHTS: dict[str, float] = {
 }
 
 
-def host_col(url: Column | str) -> Column:
-    """Lowercased hostname of a URL (JVM ``parse_url``; NULL-safe —
-    malformed URLs yield NULL and are treated as scoreless)."""
-    c = F.col(url) if isinstance(url, str) else url
-    return F.lower(F.try_parse_url(c, F.lit("HOST")))
+from go_crawler_spark.functions.urlops import host_col  # noqa: E402
+
+# host_col is re-exported: the gate and the crawler's frontier must
+# share ONE host definition (urlops.host_col, NULL-safe) or the
+# blocklist and the politeness scheduler could disagree on a URL.
 
 
 def host_suffix_chain_col(host: Column) -> Column:

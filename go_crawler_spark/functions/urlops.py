@@ -252,8 +252,13 @@ def url_hash_col(url: Column | str) -> Column:
 
 
 def host_col(url: Column | str) -> Column:
+    """Lowercased hostname — NULL-safe (``try_parse_url``): a malformed
+    URL yields NULL instead of failing the job under ANSI.  The crawl
+    canonicalizes URLs before this runs, but discovered links and the
+    corpus-layer URL gate see arbitrary strings; one shared definition
+    keeps the frontier's host and the blocklist's host in agreement."""
     c = F.col(url) if isinstance(url, str) else url
-    return F.lower(F.parse_url(c, F.lit("HOST")))
+    return F.lower(F.try_parse_url(c, F.lit("HOST")))
 
 
 def path_col(url: Column | str) -> Column:

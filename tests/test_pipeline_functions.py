@@ -1031,7 +1031,7 @@ def test_gopher_quality_passing_doc(spark):
     base = "the data and pipeline run with care. " * 8  # 56 words
     r = _gq(spark, base.strip())
     assert r.n_words == 56
-    assert 3.0 <= r.mean_word_len <= 10.0
+    assert 3.0 <= r.gopher_mean_word_len <= 10.0
     assert r.symbol_word_ratio == 0.0
     assert r.bullet_line_frac == 0.0
     assert r.ellipsis_line_frac == 0.0
@@ -1061,13 +1061,13 @@ def test_gopher_quality_each_rule_fires(spark):
     assert r.n_stop_hits == 0 and r.gopher_quality_pass is False
     # mean word length under 3
     r = _gq(spark, "a b c " * 20)
-    assert r.mean_word_len < 3.0 and r.gopher_quality_pass is False
+    assert r.gopher_mean_word_len < 3.0 and r.gopher_quality_pass is False
 
 
 def test_gopher_quality_empty_doc_fails_with_nulls(spark):
     r = _gq(spark, "")
     assert r.gopher_quality_pass is False
-    assert r.mean_word_len is None and r.alpha_word_frac is None
+    assert r.gopher_mean_word_len is None and r.alpha_word_frac is None
 
 
 def test_gopher_quality_plan_zero_shuffle_python_free(spark):
