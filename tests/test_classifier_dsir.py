@@ -230,6 +230,46 @@ def test_dsir_gumbel_topk_deterministic_and_weight_biased(spark):
         dsir.gumbel_topk(weighted, 0)
 
 
+def test_pareto_gate_independent_of_hash_split(spark):
+    """The gate's uniform must be decorrelated from the split hash:
+    among KEPT docs, the train fraction must match the split weight.
+    (With one shared unit_hash stream, keep = u > t(score) while
+    train = u < 0.9 — kept mid-score docs would crowd into val.)"""
+    from go_crawler_spark.functions.sampling import hash_split
+
+    n = 20000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(0.5).alias("score")
+    )
+    kept = classifier.pareto_quality_gate(base)
+    split = hash_split(kept, {"train": 0.9, "val": 0.1}, key="doc_id")
+    counts = {r.split: r.c for r in split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    total = sum(counts.values())
+    assert total > 200  # the gate kept a real sample
+    assert 0.8 < counts.get("train", 0) / total < 0.97
+
+
+def test_dsir_gumbel_independent_of_hash_split(spark):
+    """Same property for DSIR selection: picked docs must split like
+    the corpus, not pile into one hash region."""
+    from go_crawler_spark.functions import dsir
+    from go_crawler_spark.functions.sampling import hash_split
+
+    n = 10000
+    weighted = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(1).alias("n_feats"),
+        F.lit(0.0).alias("log_w"),  # uniform weights: pure Gumbel order
+    )
+    picked = dsir.gumbel_topk(weighted, 2000)
+    split = hash_split(picked, {"train": 0.9, "val": 0.1}, key="doc_id")
+    counts = {r.split: r.c for r in split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    frac = counts.get("train", 0) / 2000
+    assert 0.85 < frac < 0.95
+
+
 def test_nb_scores_on_testdata_nonvacuous(spark, documents):
     """Self-split train on real testdata: scores spread, all finite."""
     pos = documents.where(F.col("doc_id") % 5 == 0)
