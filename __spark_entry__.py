@@ -2652,6 +2652,62 @@ def incremental_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SEQ_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, list_append({_TOKS_SQL}, '</s>') AS tk,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p'),
+                                  1, 15)) AS BIGINT)
+             / 1152921504606846976.0 AS u
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, tk,
+             CAST(COALESCE(sum(len(tk)) OVER (
+               ORDER BY u, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS "offset"
+      FROM t
+    ),
+    tot AS (SELECT sum(len(tk)) AS n FROM t),
+    toks AS (
+      SELECT sc."offset" + x.i - 1 AS p, tk[x.i] AS tok
+      FROM sc, unnest(generate_series(1, len(tk))) AS x(i)
+    )
+    SELECT p // 512 AS chunk_id,
+           array_to_string(list(tok ORDER BY p), ' ') AS tokens_text
+    FROM toks, tot
+    WHERE p // 512 < n // 512
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("packed_sequences", _PACK_SEQ_ORACLE)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing WRITER: the actual 512-token training sequences
+    (doc tokens + '</s>' separators laid out in the deterministic
+    pack_assignments order, partial tail dropped — the GPT recipe).
+    One chunk_id-keyed shuffle whose groups are exactly seq_len tokens
+    (uniform, skew-free by construction).  Oracle: the naive
+    global-window layout + per-chunk ordered aggregation; tokens are
+    space-joined into one string per chunk (the tokenizer never emits
+    spaces) so both engines compare a scalar column."""
+    from go_crawler_spark.functions import packing
+    from go_crawler_spark.functions.dedup import md5_hash64_col
+
+    d = _read(spark, sf_dir, "documents")
+    u = md5_hash64_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":p"))
+    ) / F.lit(float(1 << 60))
+    return (
+        packing.pack_sequences(d, seq_len=512, num_buckets=16, u=u)
+        .select(
+            "chunk_id",
+            F.array_join("tokens", " ").alias("tokens_text"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
 # -- BPE tokenizer training ----------------------------------------------------
 
 

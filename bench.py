@@ -194,6 +194,7 @@ def main() -> None:
         "incremental_exact_survivors",
         "incremental_neardup_matches",
         "bpe_merges",
+        "packed_sequences",
         "user_sessions",
         "duplicate_spans",
         "contamination_spans",

@@ -70,6 +70,7 @@ QUERIES = [
     "incremental_exact_survivors",
     "incremental_neardup_matches",
     "bpe_merges",
+    "packed_sequences",
 ]
 
 

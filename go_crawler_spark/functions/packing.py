@@ -38,9 +38,9 @@ from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 from go_crawler_spark.functions.sampling import unit_hash
-from go_crawler_spark.functions.textstats import token_count_col
+from go_crawler_spark.functions.textstats import token_count_col, tokens_col
 
-__all__ = ["pack_assignments"]
+__all__ = ["pack_assignments", "pack_sequences"]
 
 
 def pack_assignments(
@@ -124,3 +124,59 @@ def pack_assignments(
         )
     )
     return out.select(id_col, "n_tokens", "offset", "first_chunk", "last_chunk")
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    seed: int = 42,
+    sep_token: str = "</s>",
+    u=None,
+) -> DataFrame:
+    """Materialize the packed training sequences themselves:
+    ``(chunk_id, tokens array<string>)`` with every chunk exactly
+    ``seq_len`` tokens — documents laid out per
+    :func:`pack_assignments` (same uniform, same separator accounting,
+    one ``sep_token`` after each document), the trailing partial chunk
+    DROPPED (the GPT recipe: training consumes full sequences only).
+
+    Scale shape: the assignment phases as above, then ONE shuffle
+    keyed by ``chunk_id`` — each group is exactly ``seq_len`` tokens,
+    so groups are uniform and skew-free by construction; within-chunk
+    order is restored by sorting the collected (position, token)
+    structs per group (an O(seq_len log seq_len) per-chunk sort, never
+    a global one)."""
+    assigned = pack_assignments(
+        df, seq_len, text_col=text_col, id_col=id_col,
+        num_buckets=num_buckets, seed=seed, sep_tokens=1, u=u,
+    )
+    docs = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    placed = assigned.join(docs, id_col).select(
+        F.col(id_col),
+        "offset",
+        F.concat(F.col("_toks"), F.array(F.lit(sep_token))).alias("_toks"),
+    )
+    toks = placed.select(
+        "offset", F.posexplode("_toks").alias("_i", "tok")
+    ).select((F.col("offset") + F.col("_i")).alias("_p"), "tok")
+    total = placed.agg(
+        F.sum(F.size("_toks")).alias("_n")
+    )
+    chunks = (
+        toks.withColumn("chunk_id", F.floor(F.col("_p") / seq_len))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("chunk_id") < F.floor(F.col("_n") / seq_len))
+        .groupBy("chunk_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_p"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ).alias("tokens")
+        )
+    )
+    return chunks

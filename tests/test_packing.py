@@ -95,3 +95,41 @@ def test_deterministic_and_subset_consistent_order(spark):
         packing.pack_assignments(sub, seq_len=32).collect(),
         key=lambda r: r.offset)]
     assert full_order == sub_order
+
+
+def test_pack_sequences_golden_and_invariants(spark):
+    texts = ["one two three", "a b c d e f g", "just two", "solo"]
+    df = _docs(spark, texts)
+    u = (F.col("doc_id") * 37 % 100).cast("double") / 100.0
+    L = 8
+    chunks = {r.chunk_id: r.tokens
+              for r in packing.pack_sequences(df, L, u=u).collect()}
+    # stream = docs in (u, id) order, each followed by </s>
+    order = sorted(range(len(texts)), key=lambda i: ((i * 37 % 100) / 100.0, i))
+    stream = []
+    for i in order:
+        stream += texts[i].split() + ["</s>"]
+    n_full = len(stream) // L
+    assert set(chunks) == set(range(n_full))  # partial tail dropped
+    for cid in range(n_full):
+        assert chunks[cid] == stream[cid * L:(cid + 1) * L]
+        assert len(chunks[cid]) == L
+
+
+def test_pack_sequences_consistent_with_assignments(spark):
+    df = _docs(spark, [f"tok{i} " * (i % 5 + 2) for i in range(60)])
+    L = 16
+    chunks = packing.pack_sequences(df, L).collect()
+    asg = packing.pack_assignments(df, L).collect()
+    # every full chunk has exactly L tokens and chunk ids are dense
+    ids = sorted(r.chunk_id for r in chunks)
+    assert ids == list(range(len(ids)))
+    assert all(len(r.tokens) == L for r in chunks)
+    total = sum(r.n_tokens + 1 for r in asg)
+    assert len(ids) == total // L
+    # a doc's first token appears in its assigned first_chunk
+    tok_by_chunk = {r.chunk_id: r.tokens for r in chunks}
+    for a in sorted(asg, key=lambda r: r.offset)[:10]:
+        fc = a.offset // L
+        if fc in tok_by_chunk:
+            assert tok_by_chunk[fc][a.offset % L].startswith("tok")
