@@ -2711,6 +2711,57 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- BPE tokenizer training ----------------------------------------------------
 
 
+_BPE_PAIRS_ORACLE = f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS tk FROM documents),
+    wc AS (
+      SELECT w.word, count(*) AS cnt
+      FROM (SELECT unnest(tk) AS word FROM t) w
+      GROUP BY w.word
+    ),
+    syms AS (
+      SELECT word, cnt,
+             list_append(list_transform(range(1, length(word) + 1),
+                                        i -> substr(word, CAST(i AS INT), 1)),
+                         '</w>') AS s
+      FROM wc
+    ),
+    pairs AS (
+      SELECT s[x.i] AS left_sym, s[x.i + 1] AS right_sym, cnt
+      FROM syms, unnest(generate_series(1, len(s) - 1)) AS x(i)
+    )
+    SELECT left_sym, right_sym, CAST(sum(cnt) AS BIGINT) AS c
+    FROM pairs GROUP BY 1, 2
+    ORDER BY c DESC, left_sym, right_sym LIMIT 50
+"""
+
+
+@_q("bpe_pair_counts", _BPE_PAIRS_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-checkable half of BPE training: round 1's weighted
+    adjacent-symbol pair counts over the corpus word-frequency table
+    (chars + the </w> marker), top 50 with the trainer's exact
+    tie-break ordering.  The full k-round trainer (bpe_merges) is
+    rows-only because later rounds depend on earlier argmaxes; this
+    entry pins the one round a single SQL statement CAN state, so the
+    core count/explode/weight machinery is still cross-engine
+    verified."""
+    from go_crawler_spark.functions import bpe
+
+    d = _read(spark, sf_dir, "documents")
+    wc = bpe.word_counts(d)
+    vocab = bpe._initial_symbols(wc)
+    return (
+        bpe._pair_counts(vocab)
+        .select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "c",
+        )
+        .orderBy(F.desc("c"), "left_sym", "right_sym")
+        .limit(50)
+    )
+
+
 @_q("bpe_merges")  # rows-only BY DESIGN: k data-dependent argmax rounds
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (Sennrich et al. 2016): 24 merges
