@@ -24,6 +24,7 @@ the design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
 
 from go_crawler_spark.functions import sampling
 from go_crawler_spark.functions.corpus import CorpusConfig
@@ -115,3 +116,29 @@ def periodic_near_dup_pass(
         spread_partitions=config.spread_partitions,
     )
     return dedup_survivors_from_pairs(accumulated, pairs, id_col)
+
+
+def streaming_incremental_exact(
+    docs_stream: DataFrame,
+    accepted_index: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-over-snapshot exact dedup ON THE STREAM: drop every
+    arriving doc whose 128-bit text hash is already in the accepted
+    corpus's index (``incremental.exact_hash_index``, a STATIC frame —
+    the previous snapshot's persisted table).  Stream-static left-anti
+    equi-join: per micro-batch work scales with the batch, state-free
+    (the index is the state, owned by the lakehouse, re-read per
+    restart).  Composes before/after ``streaming_corpus_prepare`` —
+    in-batch dedup stays that function's watermark-bounded job; this
+    handles only the new-vs-accepted half, mirroring
+    ``incremental.incremental_exact_dedup`` exactly."""
+    h1, h2 = text_hash_cols(text_col)
+    keyed = docs_stream.withColumn("_h1", h1).withColumn("_h2", h2)
+    return keyed.join(
+        accepted_index.select(
+            F.col("h1").alias("_h1"), F.col("h2").alias("_h2")
+        ),
+        ["_h1", "_h2"],
+        "left_anti",
+    ).drop("_h1", "_h2")

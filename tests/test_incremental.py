@@ -73,3 +73,30 @@ def test_index_parameter_mismatch_is_callers_burden_documented(spark):
     # probing with different shingle_k misses even the identical doc
     m = incremental.incremental_minhash_matches(new, idx, shingle_k=5)
     assert m.count() == 0
+
+
+def test_streaming_incremental_exact_matches_batch(spark, tmp_path):
+    """The stream-static anti-join drops exactly what the batch op
+    drops (new-vs-accepted half), per micro-batch."""
+    from go_crawler_spark.streaming.corpus import streaming_incremental_exact
+
+    accepted = _docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon")])
+    idx = incremental.exact_hash_index(accepted)
+    new = _docs(spark, [
+        (10, "alpha beta gamma"),   # accepted dup -> dropped
+        (11, "fresh new text"),     # novel -> kept
+        (12, "delta epsilon"),      # accepted dup -> dropped
+        (13, "another novel doc"),  # novel -> kept
+    ])
+    src = str(tmp_path / "inc_stream")
+    new.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_incremental_exact(stream, idx)
+    q = (out.writeStream.format("memory").queryName("inc_exact")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.table("inc_exact").collect()}
+    assert got == {11, 13}
+    # schema passes through unchanged
+    assert spark.table("inc_exact").columns == new.columns
