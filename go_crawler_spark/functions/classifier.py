@@ -42,7 +42,7 @@ import math
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
-from go_crawler_spark.functions.sampling import unit_hash
+from go_crawler_spark.functions.sampling import stage_seed, unit_hash
 from go_crawler_spark.functions.textstats import tokens_col
 
 __all__ = [
@@ -51,13 +51,11 @@ __all__ = [
     "pareto_quality_gate",
 ]
 
-# Decorrelation offset: the gate's uniform must be INDEPENDENT of
-# sampling.split_col's stream (both default to unit_hash(id, seed)).
-# With one shared u, "kept" is exactly "u > t(score)" while "train" is
-# "u < 0.98" — so kept mid-score docs pile into the val/test tail
-# (a score-0.5 doc would land in train only ~23% of the time instead
-# of 98%).  A stage-specific seed offset gives an independent hash.
-_PARETO_SEED_OFFSET = 1_000_003
+# The gate's uniform is stage-salted (sampling.stage_seed): with one
+# shared unit_hash stream, "kept" is exactly "u > t(score)" while
+# "train" is "u < 0.98" — kept mid-score docs would pile into the
+# val/test tail (0% of pareto-kept score-0.5 docs landed in train,
+# measured before the fix).
 
 
 def _token_occurrences(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -193,7 +191,7 @@ def pareto_gate_col(
     Pass ``u`` to override the uniform source (cross-engine oracles use
     an md5-derived uniform DuckDB can reproduce)."""
     if u is None:
-        u = unit_hash(id_key, seed=seed + _PARETO_SEED_OFFSET)
+        u = unit_hash(id_key, seed=stage_seed(seed, "pareto"))
     pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / shape)) - F.lit(1.0)
     return pareto > (F.lit(1.0) - score)
 

@@ -196,6 +196,35 @@ def choose_bands(num_hashes: int, threshold: float, target_recall: float = 0.999
     return num_hashes
 
 
+def minhash_prepared(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, _sh hashed-shingle array, minhash_sig) — the signature
+    preparation EVERY MinHash consumer shares (the intra-corpus
+    self-join and the incremental new-vs-index probe must band
+    identically or candidates are meaningless).
+
+    Shingle-hash once per document; signature + shingle set derive from
+    it.  The lazy localCheckpoint makes "once" literal: the plan is
+    consumed by multiple subtrees (band join sides, payload re-joins)
+    which would otherwise each re-run the expensive
+    tokenize+shingle+hash stage from the scan."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                shingles_col(text_col, shingle_k), lambda s: F.xxhash64(s)
+            ).alias("_sh"),
+        )
+        .withColumn("minhash_sig", minhash_from_hashes(F.col("_sh"), num_hashes))
+        .localCheckpoint(eager=False)
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -222,21 +251,7 @@ def minhash_near_dups(
         bands = choose_bands(num_hashes, jaccard_threshold)
     if spread_partitions:
         df = df.repartition(spread_partitions, id_col)
-    # Shingle-hash once per document; signature + shingle set derive from
-    # it.  The lazy localCheckpoint makes "once" literal: the plan is
-    # consumed by FOUR subtrees (both sides of the band self-join, both
-    # payload re-joins) which would otherwise each re-run the expensive
-    # tokenize+shingle+hash stage from the scan.
-    prepared = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                shingles_col(text_col, shingle_k), lambda s: F.xxhash64(s)
-            ).alias("_sh"),
-        )
-        .withColumn("minhash_sig", minhash_from_hashes(F.col("_sh"), num_hashes))
-        .localCheckpoint(eager=False)
-    )
+    prepared = minhash_prepared(df, text_col, id_col, num_hashes, shingle_k)
     # Banding carries ONLY (id, band_idx, band_hash): the shingle arrays
     # never ride through the bands-fold explosion or the self-join shuffle
     # (they'd be shipped ``bands``x otherwise — the 100 TB killer).

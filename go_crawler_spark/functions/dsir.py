@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
-from go_crawler_spark.functions.sampling import unit_hash
+from go_crawler_spark.functions.sampling import stage_seed, unit_hash
 from go_crawler_spark.functions.textstats import tokens_col
 
 __all__ = [
@@ -50,12 +50,9 @@ __all__ = [
     "gumbel_topk",
 ]
 
-# Decorrelation offset: the Gumbel key is monotone in its uniform, so
-# sharing sampling.split_col's unit_hash(id, seed) stream would bias
-# DSIR-selected docs into the top-u (val/test) hash region.  A
-# stage-specific seed offset gives an independent draw (same device as
-# classifier._PARETO_SEED_OFFSET).
-_GUMBEL_SEED_OFFSET = 2_000_003
+# The Gumbel draw is stage-salted (sampling.stage_seed): its key is
+# monotone in the uniform, so sharing split_col's stream would bias
+# DSIR-selected docs into the top-u (val/test) hash region.
 
 
 def _grams_col(text: Column) -> Column:
@@ -169,7 +166,7 @@ def gumbel_topk(
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
     uu = (
-        unit_hash(F.col(id_col), seed=seed + _GUMBEL_SEED_OFFSET)
+        unit_hash(F.col(id_col), seed=stage_seed(seed, "gumbel"))
         if u is None
         else u
     )

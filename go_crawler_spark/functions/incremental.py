@@ -22,8 +22,9 @@ question — the right shape is a persisted INDEX the new batch probes:
 
 Both index builders return plain DataFrames meant to be WRITTEN (the
 lakehouse/Iceberg table is the state store, as with the crawl's
-URL-seen set); ``updated_*_index`` composes the next snapshot's index
-as append-only unions.  In-batch duplicates are handled by the
+URL-seen set); the next snapshot's index is the append-only union of
+the old index and the new survivors' entries.  In-batch duplicates are
+handled by the
 standard intra-batch ops first (``exact_dedup`` /
 ``minhash_near_dups``) — this module owns only the new-vs-accepted
 half.
@@ -42,13 +43,13 @@ from go_crawler_spark.functions.dedup import (
     exact_dedup,
     jaccard_col,
     lsh_bands,
-    minhash_from_hashes,
-    shingles_col,
+    minhash_prepared,
     text_hash_cols,
 )
 
 __all__ = [
     "exact_hash_index",
+    "anti_join_exact_index",
     "incremental_exact_dedup",
     "minhash_index",
     "incremental_minhash_matches",
@@ -56,26 +57,23 @@ __all__ = [
 ]
 
 
-def exact_hash_index(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """The accepted corpus's distinct (h1, h2) text-hash set."""
+def exact_hash_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The accepted corpus's distinct (h1, h2) text-hash set (id-free
+    by design: the index answers "is this text known", never "whose")."""
     h1, h2 = text_hash_cols(text_col)
     return df.select(h1.alias("h1"), h2.alias("h2")).distinct()
 
 
-def incremental_exact_dedup(
-    new_df: DataFrame,
-    index: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def anti_join_exact_index(
+    df: DataFrame, index: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """New-batch exact survivors: dedup within the batch (min-id wins,
-    the package rule), then drop every doc whose text hash is already
-    in the accepted index.  Returns surviving rows unchanged."""
-    batch = exact_dedup(new_df, text_col, id_col)
+    """Drop rows whose text hash is in the accepted index — the ONE
+    shared new-vs-accepted kernel (batch incremental_exact_dedup and
+    streaming.corpus.streaming_incremental_exact both call this, so
+    batch and stream cannot drift).  Returns surviving rows unchanged;
+    works on batch AND streaming frames (stream-static left-anti)."""
     h1, h2 = text_hash_cols(text_col)
-    keyed = batch.withColumn("_h1", h1).withColumn("_h2", h2)
+    keyed = df.withColumn("_h1", h1).withColumn("_h2", h2)
     return (
         keyed.join(
             index.select(
@@ -88,19 +86,17 @@ def incremental_exact_dedup(
     )
 
 
-def _prepared(df: DataFrame, text_col, id_col, num_hashes, shingle_k):
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                shingles_col(text_col, shingle_k), lambda s: F.xxhash64(s)
-            ).alias("_sh"),
-        )
-        .withColumn(
-            "minhash_sig", minhash_from_hashes(F.col("_sh"), num_hashes)
-        )
-        .localCheckpoint(eager=False)
-    )
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """New-batch exact survivors: dedup within the batch (min-id wins,
+    the package rule), then drop every doc whose text hash is already
+    in the accepted index.  Returns surviving rows unchanged."""
+    batch = exact_dedup(new_df, text_col, id_col)
+    return anti_join_exact_index(batch, index, text_col)
 
 
 def minhash_index(
@@ -119,7 +115,7 @@ def minhash_index(
     meaningless."""
     if bands is None:
         bands = choose_bands(num_hashes, jaccard_threshold)
-    prepared = _prepared(df, text_col, id_col, num_hashes, shingle_k)
+    prepared = minhash_prepared(df, text_col, id_col, num_hashes, shingle_k)
     banded = lsh_bands(
         prepared.select("id", "minhash_sig"), "minhash_sig", bands, num_hashes
     ).select("id", "band_idx", "band_hash")
@@ -142,7 +138,7 @@ def incremental_minhash_matches(
     pairs, verify with exact Jaccard on the re-joined shingle sets."""
     if bands is None:
         bands = choose_bands(num_hashes, jaccard_threshold)
-    prepared = _prepared(new_df, text_col, id_col, num_hashes, shingle_k)
+    prepared = minhash_prepared(new_df, text_col, id_col, num_hashes, shingle_k)
     new_banded = lsh_bands(
         prepared.select("id", "minhash_sig"), "minhash_sig", bands, num_hashes
     ).select(

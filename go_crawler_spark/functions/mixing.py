@@ -31,17 +31,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
-from go_crawler_spark.functions.sampling import unit_hash
+from go_crawler_spark.functions.sampling import stage_seed, unit_hash
 from go_crawler_spark.functions.textstats import token_count_col
 
 __all__ = ["source_token_census", "mixture_rates", "mix_corpus"]
 
-# Decorrelation offset: the fractional-copy gate is "u < frac(rate)",
-# so sharing sampling.split_col's unit_hash(id, seed) stream would
-# skew fractionally-kept docs toward the low-u (train) hash region.
-# Stage-specific seed offset = independent draw (the same device as
-# classifier/dsir use).
-_MIX_SEED_OFFSET = 3_000_003
+# The fractional-copy gate is stage-salted (sampling.stage_seed):
+# "u < frac(rate)" on split_col's own stream would skew fractionally
+# kept docs toward the low-u (train) hash region.
 
 
 def source_token_census(
@@ -114,7 +111,7 @@ def mix_corpus(
     n_whole = F.floor("rate").cast("int")
     frac = F.col("rate") - F.floor("rate")
     uu = (
-        unit_hash(F.col(id_col), seed=seed + _MIX_SEED_OFFSET)
+        unit_hash(F.col(id_col), seed=stage_seed(seed, "mix"))
         if u is None
         else u
     )

@@ -149,10 +149,13 @@ def pack_sequences(
     order is restored by sorting the collected (position, token)
     structs per group (an O(seq_len log seq_len) per-chunk sort, never
     a global one)."""
+    # checkpoint: `assigned` is consumed by BOTH the token explode and
+    # the total-length aggregate — without it the two-window assignment
+    # DAG (and the tokenize) would run twice per action
     assigned = pack_assignments(
         df, seq_len, text_col=text_col, id_col=id_col,
         num_buckets=num_buckets, seed=seed, sep_tokens=1, u=u,
-    )
+    ).localCheckpoint(eager=False)
     docs = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
     placed = assigned.join(docs, id_col).select(
         F.col(id_col),
@@ -162,8 +165,10 @@ def pack_sequences(
     toks = placed.select(
         "offset", F.posexplode("_toks").alias("_i", "tok")
     ).select((F.col("offset") + F.col("_i")).alias("_p"), "tok")
-    total = placed.agg(
-        F.sum(F.size("_toks")).alias("_n")
+    # stream length from the slim assignment frame (n_tokens + 1 sep
+    # each), not from re-tokenizing the corpus
+    total = assigned.agg(
+        F.sum(F.col("n_tokens") + F.lit(1)).alias("_n")
     )
     chunks = (
         toks.withColumn("chunk_id", F.floor(F.col("_p") / seq_len))

@@ -31,15 +31,38 @@ def unit_hash(key: Column | str, seed: int = 42) -> Column:
     return F.shiftrightunsigned(h, 11).cast("double") / F.lit(float(1 << 53))
 
 
+def stage_seed(seed: int, stage: str) -> int:
+    """Decorrelate a stage's uniform stream from every other stage's.
+
+    Any operator that SELECTS rows by comparing ``unit_hash(key, seed)``
+    against a threshold must not share its stream with ``split_col``
+    (or any other selector on the same key): selection then becomes a
+    deterministic function of split membership — e.g. a 0.5-fraction
+    sample followed by a 0.9/0.1 split leaves val EMPTY, because both
+    tests read the identical u.  Deriving the stage's seed as
+    ``seed ⊕ crc32(stage)`` gives an independent xxhash64 stream per
+    stage name while staying a pure function of (seed, stage) —
+    reproducible everywhere, no state.
+
+    ``split_col``/``hash_split`` keep the BARE seed (the canonical
+    assignment stream everything else decorrelates from).
+    """
+    import zlib
+
+    return seed ^ zlib.crc32(stage.encode("utf-8"))
+
+
 def sample_fraction(
     df: DataFrame, fraction: float, key: str = "doc_id", seed: int = 42
 ) -> DataFrame:
     """Deterministic ``fraction``-sample: keeps rows with
     ``unit_hash(key) < fraction``.  Subset-stable: sampling a superset
-    keeps exactly the sampled rows of every subset."""
+    keeps exactly the sampled rows of every subset.  The stream is
+    stage-salted (:func:`stage_seed`) so sampled rows still split like
+    the corpus under a downstream ``hash_split``."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.where(unit_hash(key, seed) < F.lit(fraction))
+    return df.where(unit_hash(key, stage_seed(seed, "sample")) < F.lit(fraction))
 
 
 def split_col(
@@ -91,13 +114,15 @@ def stratified_sample(
     ``{"en": 0.3, "de": 1.0}``).  Strata absent from ``fractions`` get
     ``default_fraction``.  Same hash as :func:`sample_fraction`, so a
     stratum at fraction 1.0 keeps exactly its rows and lowering a
-    fraction only ever removes rows (nested samples)."""
+    fraction only ever removes rows (nested samples).  Stage-salted
+    like :func:`sample_fraction` (and sharing ITS stream, preserving
+    the nesting property between the two)."""
     for k, v in fractions.items():
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"fraction for stratum {k!r} must be in [0, 1], got {v}")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
-    u = unit_hash(key, seed)
+    u = unit_hash(key, stage_seed(seed, "sample"))
     frac = None
     for k, v in fractions.items():
         cond = F.col(strata_col) == F.lit(k)

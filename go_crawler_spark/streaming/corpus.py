@@ -24,7 +24,6 @@ the design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-import pyspark.sql.functions as F
 
 from go_crawler_spark.functions import sampling
 from go_crawler_spark.functions.corpus import CorpusConfig
@@ -132,13 +131,9 @@ def streaming_incremental_exact(
     restart).  Composes before/after ``streaming_corpus_prepare`` —
     in-batch dedup stays that function's watermark-bounded job; this
     handles only the new-vs-accepted half, mirroring
-    ``incremental.incremental_exact_dedup`` exactly."""
-    h1, h2 = text_hash_cols(text_col)
-    keyed = docs_stream.withColumn("_h1", h1).withColumn("_h2", h2)
-    return keyed.join(
-        accepted_index.select(
-            F.col("h1").alias("_h1"), F.col("h2").alias("_h2")
-        ),
-        ["_h1", "_h2"],
-        "left_anti",
-    ).drop("_h1", "_h2")
+    ``incremental.incremental_exact_dedup`` exactly — structurally:
+    both call the ONE shared ``incremental.anti_join_exact_index``
+    kernel, so they cannot drift."""
+    from go_crawler_spark.functions.incremental import anti_join_exact_index
+
+    return anti_join_exact_index(docs_stream, accepted_index, text_col)
