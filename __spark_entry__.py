@@ -2708,6 +2708,47 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    occ AS (SELECT doc_id, unnest(tk) AS term FROM t),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS d FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (ln((n.n + 1)::DOUBLE / (df.d + 1)) + 1.0) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, round(score, 6) AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY doc_id, rank
+"""
+
+
+@_q("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by smoothed TF-IDF
+    (textstats.tfidf_top_terms): one (doc, term) groupBy, document
+    frequencies derived from the SAME aggregate (no second corpus
+    pass), an O(vocab) idf equi-join, and a per-doc rank window whose
+    top-k partial pushes map-side (WindowGroupLimit)."""
+    from go_crawler_spark.functions.textstats import tfidf_top_terms
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        tfidf_top_terms(d, k=5)
+        .select("doc_id", "term", "tf", F.round("score", 6).alias("score"),
+                "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
 # -- BPE tokenizer training ----------------------------------------------------
 
 

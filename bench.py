@@ -195,6 +195,7 @@ def main() -> None:
         "incremental_neardup_matches",
         "bpe_merges",
         "packed_sequences",
+        "tfidf_top_terms",
         "user_sessions",
         "duplicate_spans",
         "contamination_spans",

@@ -71,6 +71,7 @@ QUERIES = [
     "incremental_neardup_matches",
     "bpe_merges",
     "packed_sequences",
+    "tfidf_top_terms",
 ]
 
 

@@ -594,6 +594,54 @@ def gopher_quality_stats(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF
+    (``tf * (ln((N + 1) / (df + 1)) + 1)``) — the classic keyword /
+    topic-signal extraction a corpus-analysis layer ships.
+
+    Scale shape: ONE (doc, term) groupBy for term frequencies (map-side
+    combine absorbs Zipf-hot terms), document frequencies derived from
+    the SAME aggregate (a distinct (doc, term) row is one df vote —
+    no second corpus pass), one equi-join of the O(vocab) idf table,
+    and a per-doc rank window (WindowGroupLimit pushes the top-k
+    partial map-side).  Ties break by term ascending — deterministic.
+    Returns ``(id_col, term, tf, score, rank)``."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # consumed by df-counts AND the join
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    idf = docfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (
+            F.log((F.col("_n") + 1).cast("double") / (F.col("_df") + 1))
+            + F.lit(1.0)
+        ).alias("_idf"),
+    )
+    scored = tf.join(idf, "term").select(
+        id_col, "term", "tf", (F.col("tf") * F.col("_idf")).alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def vocab_counts(
     df: DataFrame, text_col: str = "text", toks: Column | None = None
 ) -> DataFrame:

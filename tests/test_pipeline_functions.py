@@ -1076,3 +1076,30 @@ def test_gopher_quality_plan_zero_shuffle_python_free(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_tfidf_top_terms_known_case(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple banana common"), (2, "cherry common"),
+         (3, "common words only here")],
+        "doc_id long, text string",
+    )
+    out = textstats.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 'apple' (tf 2, df 1) dominates; 'common' (df 3) ranks last
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert d1[0].term == "apple" and d1[0].tf == 2
+    assert all(len(v) == 2 for v in by_doc.values())  # exactly k rows
+    # rank is dense 1..k and scores non-increasing within a doc
+    for rows in by_doc.values():
+        rows = sorted(rows, key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2]
+        assert rows[0].score >= rows[1].score
+    # rarer term outscores commoner term at equal tf
+    d2 = {r.term: r.score for r in by_doc[2]}
+    assert d2["cherry"] > d2["common"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textstats.tfidf_top_terms(df, k=0)
