@@ -60,6 +60,15 @@ def entry(spark: SparkSession) -> DataFrame:
 _Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _SQL: dict[str, str] = {}
 
+# Retired from the driver window (round-4 verdict, next-round item 1): the
+# driver correctness harness checks at most the FIRST 50 registered queries,
+# so generic SQL shapes that map to no SURVEY §2 / LLM-pipeline operator
+# were moved here to make room.  They stay fully oracle-checked in pytest
+# (tests/test_entry_contract.py parametrizes over active ∪ legacy) and
+# remain runnable by the bench harnesses via legacy_queries().
+_LEGACY_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_LEGACY_SQL: dict[str, str] = {}
+
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
@@ -71,10 +80,20 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
+def _legacy_q(name: str, sql: str | None = None):
+    def deco(fn):
+        _LEGACY_Q[name] = fn
+        if sql is not None:
+            _LEGACY_SQL[name] = sql
+        return fn
+
+    return deco
+
+
 # -- A5/A1: grouped aggregation (pricing-summary flagship agg) --------------
 
 
-@_q(
+@_legacy_q(
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
@@ -288,7 +307,7 @@ def politeness_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- J: star join (broadcast dims) --------------------------------------------------
 
 
-@_q(
+@_legacy_q(
     "star_join_revenue",
     """
     SELECT n.n_name AS nation, round(sum(o.o_totalprice), 4) AS revenue,
@@ -438,7 +457,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- windowed event-time aggregation ------------------------------------------------------------
 
 
-@_q(
+@_legacy_q(
     "events_daily_rollup",
     """
     SELECT date_trunc('day', ts) AS day, event_type,
@@ -457,7 +476,7 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
+@_legacy_q(
     "events_value_quantiles",
     """
     SELECT event_type,
@@ -486,7 +505,7 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
+@_legacy_q(
     "vocab_top_tokens",
     r"""
     WITH tk AS (
@@ -1036,7 +1055,7 @@ _REPETITION_ORACLE = f"""
 """
 
 
-@_q("repetition_stats", _REPETITION_ORACLE)
+@_legacy_q("repetition_stats", _REPETITION_ORACLE)
 def repetition_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filters (Rae et al. 2021 A1.1): top-2-gram and
     duplicate-5-gram character fractions per document.  The Spark side is
@@ -2083,7 +2102,7 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
+@_legacy_q(
     "dsir_log_weights",
     f"WITH {_DSIR_SQL} SELECT doc_id, n_feats, round(log_w, 6) AS log_w"
     " FROM weights ORDER BY doc_id",
@@ -2824,9 +2843,86 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+# Driver registration order.  The driver's correctness harness checks at
+# most the FIRST 50 registered queries (observed in CORRECTNESS_r04, which
+# capped at 50 of 58), so the least-driver-verified entries lead: first the
+# 8 that got no driver row in round 4, then the round-4-new entries with a
+# single green round, then the multi-round-stable set.  sum_abs_delta (A3,
+# green r1-r4, also pinned by tests/test_graphx.py goldens) deliberately
+# sits at position 51 as the overflow slot.
+_ORDER = [
+    # -- no driver row in round 4 (registration positions 51-58) ------------
+    "corpus_mixture",
+    "pack_assignments",
+    "incremental_exact_survivors",
+    "incremental_neardup_matches",
+    "packed_sequences",
+    "tfidf_top_terms",
+    "bpe_pair_counts",
+    "bpe_merges",
+    # -- one green driver round (new in r4) ----------------------------------
+    "repetition_merged_coverage",
+    "gopher_repetition_full",
+    "lm_perplexity_scores",
+    "paragraph_dedup_docs",
+    "semantic_dedup_survivors",
+    "nb_quality_scores",
+    "nb_pareto_kept",
+    "dsir_resampled_topk",
+    "url_gate_survivors",
+    "c4_cleaned_pages",
+    "gopher_quality_signals",
+    "search_or_ranked",
+    "dedup_simhash_pairs",
+    "doc_fingerprints",
+    # -- multi-round-stable ---------------------------------------------------
+    "crawl_golden_web",
+    "pagerank_scores",
+    "dedup_exact_survivors",
+    "dedup_minhash_pairs",
+    "dedup_minhash_components",
+    "embedding_near_dup_pairs",
+    "duplicate_spans",
+    "contamination_spans",
+    "duplicate_spans_cut",
+    "corpus_prepared",
+    "pii_scrubbed",
+    "text_quality_stats",
+    "token_counts",
+    "lang_distribution",
+    "user_sessions",
+    "search_tf_ranked",
+    "search_bm25_ranked",
+    "search_phrase_ranked",
+    "knn_join_exact",
+    "ann_brute_force_topk",
+    "anti_join_unseen",
+    "merge_newest_wins",
+    "union_follow_nofollow",
+    "remove_stale",
+    "filter_regex_exclusion",
+    "filter_status_range",
+    "topk_ranked_offset",
+    "politeness_topk_per_key",
+    "sum_abs_delta",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_Q)
+    assert set(_ORDER) == set(_Q), (
+        sorted(set(_ORDER) ^ set(_Q))
+    )  # every registered entry is ordered, nothing silently dropped
+    return {name: _Q[name] for name in _ORDER}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_SQL)
+    return {name: _SQL[name] for name in _ORDER if name in _SQL}
+
+
+def legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Entries retired from the driver window (still pytest-oracled)."""
+    return dict(_LEGACY_Q)
+
+
+def legacy_oracle_sql() -> dict[str, str]:
+    return dict(_LEGACY_SQL)

@@ -210,7 +210,7 @@ def main() -> None:
         "search_phrase_ranked",
         "pagerank_scores",
     ]
-    qs = entry_mod.queries()
+    qs = {**entry_mod.legacy_queries(), **entry_mod.queries()}
     for name in bench_queries:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)

@@ -188,7 +188,7 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("gcs-sfscale", cpus=cpus, shuffle_partitions=max(cpus, 16))
-    qs = em.queries()
+    qs = {**em.legacy_queries(), **em.queries()}
 
     d_small = ensure_docs_dir(spark, base)
     d_big = ensure_docs_dir(spark, base * mult)

@@ -46,7 +46,7 @@ def test_whole_stage_codegen_on_native_ops(spark):
 def test_small_dims_broadcast(spark):
     import __spark_entry__ as entry_mod
 
-    df = entry_mod.queries()["star_join_revenue"](spark, SF)
+    df = entry_mod.legacy_queries()["star_join_revenue"](spark, SF)
     strategies = plans.join_strategies(df)
     assert strategies and all(s == "BroadcastHashJoin" for s in strategies), strategies
 
@@ -222,7 +222,7 @@ def test_plan_helpers_count_and_split_correctly(spark):
     keeps comma-bearing filters whole (review r3 batch 4)."""
     import __spark_entry__ as entry_mod
 
-    star = entry_mod.queries()["star_join_revenue"](spark, SF)
+    star = entry_mod.legacy_queries()["star_join_revenue"](spark, SF)
     assert len(plans.join_strategies(star)) == len(
         [l for l in plans.formatted_plan(star).splitlines()
          if l.strip().startswith("(") and "Join" in l.split(")")[1][:30]]
