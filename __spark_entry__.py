@@ -2376,8 +2376,11 @@ _GOPHER_Q_ORACLE = f"""
           round(CAST(list_sum(list_transform(words, w -> length(w)))
                      AS DOUBLE) / len(words), 6) END AS gopher_mean_word_len,
         CASE WHEN len(words) > 0 THEN
-          round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
-                     AS DOUBLE) / len(words), 6) END AS symbol_word_ratio,
+          round(CAST(len(regexp_extract_all(text, '#'))
+                     AS DOUBLE) / len(words), 6) END AS hash_word_ratio,
+        CASE WHEN len(words) > 0 THEN
+          round(CAST(len(regexp_extract_all(text, '\\.\\.\\.|…'))
+                     AS DOUBLE) / len(words), 6) END AS ellipsis_word_ratio,
         round(CAST(len(list_filter(lines,
             l -> starts_with(l, '•') OR starts_with(l, '-')
                  OR starts_with(l, '*'))) AS DOUBLE)
@@ -2398,7 +2401,8 @@ _GOPHER_Q_ORACLE = f"""
       COALESCE(
         n_words BETWEEN 50 AND 100000
         AND gopher_mean_word_len BETWEEN 3.0 AND 10.0
-        AND symbol_word_ratio <= 0.1
+        AND hash_word_ratio <= 0.1
+        AND ellipsis_word_ratio <= 0.1
         AND bullet_line_frac <= 0.10
         AND ellipsis_line_frac <= 0.30
         AND alpha_word_frac >= 0.80

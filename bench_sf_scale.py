@@ -50,6 +50,12 @@ FOOTER = (
 
 QUERIES = [
     "repetition_stats",
+    # the two heaviest corpus entries (22.5s/10.8s at sf0.1 in BENCH_r04)
+    # were the only ones absent from this harness (VERDICT r4 item 2) —
+    # their plans are zero-shuffle and locked, but linearity needs the
+    # 10x measurement like everything else
+    "gopher_repetition_full",
+    "repetition_merged_coverage",
     "duplicate_spans",
     "duplicate_spans_cut",
     "contamination_spans",
@@ -231,27 +237,34 @@ def main() -> None:
     # assignment runs the Arrow-matmul path (assign_clusters_udf).
     from go_crawler_spark.functions import semdedup
 
-    def time_semantic(sf_dir: str, n: int) -> float:
+    def run_semantic(sf_dir: str, n: int) -> float:
         c = max(8, n // 64)
         e = spark.read.parquet(
             os.path.join(sf_dir, "embeddings.parquet")
         ).select("vec_id", "embedding")
         cents = semdedup.centroids_by_id(e, c)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            semdedup.semantic_dedup_assigned(
-                semdedup.assign_clusters_udf(e, cents), cosine_threshold=0.9
-            ).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        return round(best, 3)
+        t0 = time.time()
+        semdedup.semantic_dedup_assigned(
+            semdedup.assign_clusters_udf(e, cents), cosine_threshold=0.9
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
 
-    t_sem_small = time_semantic(d_small, base)
-    t_sem_big = time_semantic(d_big, base * mult)
+    # median-of-3, small/big INTERLEAVED (VERDICT r4 item 7: the r4
+    # min-of-2 windows disagreed x2.4 vs x10.7 — the widest noise band
+    # in the suite; interleaving decorrelates the host-steal windows)
+    sem_small, sem_big = [], []
+    for _ in range(3):
+        sem_small.append(run_semantic(d_small, base))
+        sem_big.append(run_semantic(d_big, base * mult))
+    t_sem_small = sorted(sem_small)[1]
+    t_sem_big = sorted(sem_big)[1]
     out["queries"]["semantic_dedup(C=n/64)"] = {
         "sec_sf0.1": t_sem_small,
         f"sec_sf1({mult}x)": t_sem_big,
         "ratio": round(t_sem_big / max(t_sem_small, 1e-9), 2),
+        "reps": "median-of-3 interleaved",
+        "all_small": sem_small,
+        "all_big": sem_big,
     }
     print(f"{'semantic_dedup(C=n/64)':<28}{t_sem_small:>9.2f}s "
           f"{t_sem_big:>9.2f}s  x{out['queries']['semantic_dedup(C=n/64)']['ratio']}")

@@ -205,14 +205,29 @@ def bpe_encode(
 ) -> DataFrame:
     """(id_col, bpe_tokens array<string>, n_bpe_tokens): apply the
     merge list per word — Arrow-batched pandas UDF, merge list shipped
-    once per executor (broadcast via closure)."""
+    once per executor (broadcast via closure).
+
+    The greedy merge loop is memoized over DISTINCT words (VERDICT r4
+    item 3): Zipf means >90% of word occurrences repeat, and the
+    closure-level cache persists for the lifetime of the Python worker
+    process, so each distinct word is encoded once per worker instead
+    of once per occurrence.  Output is bit-identical to the uncached
+    loop (the encoding of a word is a pure function of the merge list).
+    The cache is bounded (cleared at ``_CACHE_MAX`` entries) so a
+    pathological all-unique corpus cannot grow worker memory without
+    limit; natural-language vocabularies stay far under the bound."""
     merge_rank = {m: i for i, m in enumerate(merges)}
+    _CACHE_MAX = 1_000_000
+    # closure-captured: each Python worker deserializes the UDF once and
+    # reuses it across Arrow batches, so this dict is a per-worker
+    # memo table (empty on the driver; populated worker-side only)
+    cache: dict = {}
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def encode(words_s):
         import pandas as pd
 
-        def enc_word(w: str) -> list[str]:
+        def enc_word_raw(w: str) -> list[str]:
             syms = list(w) + [END_MARK]
             while len(syms) > 1:
                 best, bi = None, -1
@@ -224,6 +239,15 @@ def bpe_encode(
                     break
                 syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
             return syms
+
+        def enc_word(w: str) -> list[str]:
+            enc = cache.get(w)
+            if enc is None:
+                if len(cache) >= _CACHE_MAX:
+                    cache.clear()
+                enc = enc_word_raw(w)
+                cache[w] = enc
+            return enc
 
         return pd.Series(
             [

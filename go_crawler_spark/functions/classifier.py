@@ -89,6 +89,19 @@ def train_nb_quality(
     """
     p_occ = _token_occurrences(pos, text_col, id_col)
     n_occ = _token_occurrences(neg, text_col, id_col)
+    # fail fast on an empty class: ln(x/0) would otherwise surface as
+    # all-NULL logits downstream (default mode) or a runtime division
+    # error (ANSI) long after training "succeeded" — mirror the eager
+    # validation in mixture_rates/gumbel_topk (r4 ADVICE).  limit(1)
+    # probes stop at the first row, so this does not rescan the corpora.
+    for cls, docs, occ in (("pos", pos, p_occ), ("neg", neg, n_occ)):
+        if docs.limit(1).count() == 0:
+            raise ValueError(f"{cls} corpus has zero documents")
+        if occ.limit(1).count() == 0:
+            raise ValueError(
+                f"{cls} corpus has zero token occurrences "
+                f"(all-empty {text_col!r}?)"
+            )
     # one shuffle: tag with class, count both classes in a single groupBy
     tagged = p_occ.select("token", F.lit(1).alias("_is_pos")).unionAll(
         n_occ.select("token", F.lit(0).alias("_is_pos"))

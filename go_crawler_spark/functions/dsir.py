@@ -137,12 +137,22 @@ def importance_log_weights(
             - F.log((F.col("_cq") + F.lit(alpha)) / (F.col("_nq") + F.lit(ab)))
         ).alias("_llr"),
     )
+    # A bucket present in the scored batch but absent from BOTH fitted
+    # dists has no ratio row; its true smoothed ratio is the closed-form
+    # floor ln(alpha/(n_p+alpha*B)) - ln(alpha/(n_q+alpha*B)).  Coalesce
+    # to it so persisted dists reused on a later batch don't silently
+    # skip unseen buckets (which would bias log_w toward 0 while still
+    # counting them in n_feats) — same guard as classifier.floor_llr.
+    floor_llr = F.log(
+        F.lit(float(alpha)) / (F.col("_np") + F.lit(ab))
+    ) - F.log(F.lit(float(alpha)) / (F.col("_nq") + F.lit(ab)))
     per_doc = (
         feats.join(F.broadcast(ratio), "bucket", "left")
+        .crossJoin(F.broadcast(consts))
         .groupBy(F.col("_id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.sum("_llr").alias("log_w"),
+            F.sum(F.coalesce(F.col("_llr"), floor_llr)).alias("log_w"),
         )
     )
     return per_doc

@@ -54,6 +54,7 @@ __all__ = [
     "minhash_index",
     "incremental_minhash_matches",
     "incremental_near_dedup",
+    "DedupIndexStore",
 ]
 
 
@@ -193,3 +194,214 @@ def incremental_near_dedup(
         id_col,
         "left_anti",
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent index store (VERDICT r4 item 6)
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+import pyspark.sql.types as T
+
+from go_crawler_spark.lakehouse import Lakehouse, TableSpec, bucket_col
+
+_EXACT_SCHEMA = T.StructType(
+    [T.StructField("h1", T.LongType()), T.StructField("h2", T.LongType())]
+)
+_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+    ]
+)
+_SHINGLES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("_sh", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+class DedupIndexStore:
+    """The incremental-dedup indexes as PERSISTED lakehouse tables.
+
+    ``exact_hash_index`` / ``minhash_index`` return plain DataFrames
+    "meant to be written"; this class is the thing that writes them —
+    the same snapshot-versioned bucketed tables the crawl's URL-seen
+    state uses (lakehouse.py), so a dedup chain survives process
+    restarts and each snapshot's work appends O(new-batch) index rows
+    (Iceberg fast-append), never rewriting the accumulated index.
+
+    Tables (all bucketed, so probes prune at the MANIFEST level):
+
+    * ``dedup_exact_index``     (h1, h2)                 bucket(h1)
+    * ``dedup_minhash_bands``   (id, band_idx, band_hash) bucket(band_hash)
+    * ``dedup_minhash_shingles``(id, _sh)                 bucket(id)
+
+    Banding parameters are part of the index's identity (probing with a
+    different (num_hashes, bands, shingle_k) would produce meaningless
+    band keys), so they are persisted in ``dedup_index_params.json`` at
+    the warehouse root on first open and VALIDATED on every reopen — a
+    mismatched reopen fails loudly instead of silently missing dups.
+    """
+
+    PARAMS_FILE = "dedup_index_params.json"
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        num_hashes: int = 64,
+        bands: int | None = None,
+        shingle_k: int = 5,
+        jaccard_threshold: float = 0.8,
+        num_buckets: int = 32,
+    ):
+        if bands is None:
+            bands = choose_bands(num_hashes, jaccard_threshold)
+        params = {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_k": shingle_k,
+            "jaccard_threshold": jaccard_threshold,
+            "num_buckets": num_buckets,
+        }
+        _os.makedirs(root, exist_ok=True)
+        ppath = _os.path.join(root, self.PARAMS_FILE)
+        if _os.path.exists(ppath):
+            with open(ppath) as f:
+                persisted = _json.load(f)
+            if persisted != params:
+                raise ValueError(
+                    f"dedup index at {root} was built with {persisted}; "
+                    f"reopened with {params} — banding parameters are part "
+                    "of the index identity, probe with the original ones"
+                )
+        else:
+            tmp = ppath + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(params, f)
+            _os.replace(tmp, ppath)
+        self.params = params
+        self.lake = Lakehouse(spark, root)
+        nb = num_buckets
+        self.exact_spec = TableSpec(
+            "dedup_exact_index", _EXACT_SCHEMA
+        ).with_buckets("h1", nb)
+        self.bands_spec = TableSpec(
+            "dedup_minhash_bands", _BANDS_SCHEMA
+        ).with_buckets("band_hash", nb)
+        self.shingles_spec = TableSpec(
+            "dedup_minhash_shingles", _SHINGLES_SCHEMA
+        ).with_buckets("id", nb)
+
+    # -- reads (probe side) -------------------------------------------------
+
+    def _touched_buckets(self, df: DataFrame, col: str) -> list[int]:
+        """The ≤num_buckets distinct index buckets the probe batch can
+        possibly hit — a bounded collect (same pattern as the lakehouse
+        merge path), turning the index read into a manifest-level prune.
+        ``bucket_col`` is the table's own row→bucket transform, so the
+        probe column's buckets line up with the manifest's dirs."""
+        n = self.params["num_buckets"]
+        rows = df.select(bucket_col(col, n).alias("_b")).distinct().collect()
+        return sorted(r._b for r in rows)
+
+    def exact_index(self, probe: DataFrame | None = None) -> DataFrame:
+        """The accepted (h1, h2) set; pass ``probe`` (a frame carrying
+        ``_h1`` per anti_join_exact_index's keying — any frame with an
+        ``h1``-hashable column named ``_h1``) to prune the read to the
+        buckets the probe can hit."""
+        if probe is None:
+            return self.lake.read(self.exact_spec)
+        bl = self._touched_buckets(probe, "_h1")
+        return self.lake.read(self.exact_spec, buckets=bl)
+
+    def minhash_indexes(self) -> dict[str, DataFrame]:
+        return {
+            "bands": self.lake.read(self.bands_spec),
+            "shingles": self.lake.read(self.shingles_spec),
+        }
+
+    # -- the per-snapshot accept --------------------------------------------
+
+    def accept_snapshot(
+        self,
+        new_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Dedup ``new_df`` against everything previously accepted, then
+        append the SURVIVORS' index entries — the per-snapshot step of
+        the RefinedWeb/Dolma dump-over-dump chain.
+
+        Shape: (1) in-batch exact dedup + anti-join the exact index
+        (pruned to the batch's hash buckets); (2) MinHash-probe the band
+        index asymmetrically and drop near-dup matches; (3) fast-append
+        the survivors' (h1,h2), band keys, and shingle sets.  The
+        survivors frame is persisted for the duration (it feeds three
+        appends + the return), then handed back still-cached — work is
+        O(new batch), never O(accumulated corpus).
+
+        In-batch NEAR-dups are deliberately not resolved here (the
+        intra-batch ops own that — see module docstring); two mutual
+        near-dups arriving in ONE snapshot both enter the index, exactly
+        like a fresh corpus before its intra-corpus near-dedup pass.
+
+        The three appends are each atomic (lakehouse manifest swap) but
+        not jointly transactional: a crash between them can leave a doc
+        exact-indexed but not band-indexed.  Exact dedup stays correct
+        (re-accepting the same snapshot idempotently re-drops its docs),
+        but the orphaned docs' band entries stay missing — near-dups of
+        them in LATER snapshots would be missed until the entries are
+        rebuilt (``minhash_index`` over the crashed batch's survivors,
+        then two appends).  With a real Iceberg catalog the three
+        appends become one multi-table commit and the window vanishes.
+        """
+        p = self.params
+        h1, h2 = text_hash_cols(text_col)
+        batch = exact_dedup(new_df, text_col, id_col)
+        keyed = batch.withColumn("_h1", h1).withColumn("_h2", h2)
+        exact_idx = self.exact_index(probe=keyed)
+        fresh = (
+            keyed.join(
+                exact_idx.select(
+                    F.col("h1").alias("_h1"), F.col("h2").alias("_h2")
+                ),
+                ["_h1", "_h2"],
+                "left_anti",
+            )
+            .drop("_h1", "_h2")
+        )
+        survivors = incremental_near_dedup(
+            fresh,
+            self.minhash_indexes(),
+            text_col,
+            id_col,
+            p["num_hashes"],
+            p["bands"],
+            p["shingle_k"],
+            p["jaccard_threshold"],
+        ).persist()
+        try:
+            self.lake.append(
+                self.exact_spec, exact_hash_index(survivors, text_col)
+            )
+            entries = minhash_index(
+                survivors,
+                text_col,
+                id_col,
+                p["num_hashes"],
+                p["bands"],
+                p["shingle_k"],
+                p["jaccard_threshold"],
+            )
+            self.lake.append(self.bands_spec, entries["bands"])
+            self.lake.append(self.shingles_spec, entries["shingles"])
+        except Exception:
+            survivors.unpersist()
+            raise
+        return survivors

@@ -76,6 +76,20 @@ def mixture_rates(
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
+    # the inner join below silently drops a weights key naming a source
+    # absent from the census (e.g. a typo) — the caller would believe
+    # the source is represented; validate eagerly instead (r4 ADVICE).
+    # The census is a per-source aggregate (O(#sources) rows), so the
+    # collect is bounded.
+    census_sources = {
+        r[0] for r in census.select(source_col).distinct().collect()
+    }
+    unmatched = sorted(set(weights) - census_sources)
+    if unmatched:
+        raise ValueError(
+            f"weights name sources absent from the census: {unmatched}; "
+            f"census has {sorted(census_sources)}"
+        )
     pairs = [(s, float(w) / total_w) for s, w in sorted(weights.items())]
     wdf = census.sparkSession.createDataFrame(
         pairs, f"{source_col} string, _w double"

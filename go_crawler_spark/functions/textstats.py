@@ -514,9 +514,16 @@ def gopher_quality_stats(
       with_text_stats emits, whose tokenizer semantics and 0.0-on-empty
       policy differ; distinct names keep the two from shadowing each
       other when both annotate one frame);
-    * ``symbol_word_ratio`` (# and ellipsis occurrences / words) <= 0.1;
+    * ``hash_word_ratio`` (# occurrences / words) <= 0.1 and
+      ``ellipsis_word_ratio`` (``...``/``…`` occurrences / words)
+      <= 0.1 — the paper applies the 0.1 symbol-to-word bound to EACH
+      symbol type ("for either the hash symbol or the ellipsis"), so
+      the two ratios are computed and thresholded separately (a doc
+      fails if either exceeds 0.1);
     * ``bullet_line_frac`` <= 0.10 ("90% of lines do not start with a
-      bullet"; bullets here: ``•``, ``-``, ``*``);
+      bullet"; bullets here: ``•``, ``-``, ``*`` — a DELIBERATE
+      extension beyond the paper's bullet-point character onto the
+      ASCII markdown list markers scraped web text actually uses);
     * ``ellipsis_line_frac`` <= 0.30 (lines ending in ``...``/``…``);
     * ``alpha_word_frac`` >= 0.80 (words containing >= 1 letter);
     * ``n_stop_hits`` >= 2 distinct hits in the paper's 8-word stop
@@ -539,8 +546,10 @@ def gopher_quality_stats(
     mean_word_len = F.when(
         nonzero, total_chars.cast("double") / n_words
     )
-    n_symbols = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
-    symbol_ratio = F.when(nonzero, n_symbols.cast("double") / n_words)
+    n_hash = F.regexp_count(text, F.lit("#"))
+    n_ellipsis = F.regexp_count(text, F.lit(r"\.\.\.|…"))
+    hash_ratio = F.when(nonzero, n_hash.cast("double") / n_words)
+    ellipsis_ratio = F.when(nonzero, n_ellipsis.cast("double") / n_words)
     lines = F.transform(F.split(text, r"\n"), lambda l: F.trim(l))
     n_lines = F.size(lines)
     bullet_frac = (
@@ -574,7 +583,8 @@ def gopher_quality_stats(
     out = (
         df.withColumn("n_words", n_words)
         .withColumn("gopher_mean_word_len", F.round(mean_word_len, 6))
-        .withColumn("symbol_word_ratio", F.round(symbol_ratio, 6))
+        .withColumn("hash_word_ratio", F.round(hash_ratio, 6))
+        .withColumn("ellipsis_word_ratio", F.round(ellipsis_ratio, 6))
         .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
         .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 6))
         .withColumn("alpha_word_frac", F.round(alpha_frac, 6))
@@ -583,7 +593,8 @@ def gopher_quality_stats(
     passed = (
         F.col("n_words").between(50, 100_000)
         & F.col("gopher_mean_word_len").between(3.0, 10.0)
-        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("hash_word_ratio") <= 0.1)
+        & (F.col("ellipsis_word_ratio") <= 0.1)
         & (F.col("bullet_line_frac") <= 0.10)
         & (F.col("ellipsis_line_frac") <= 0.30)
         & (F.col("alpha_word_frac") >= 0.80)

@@ -7,11 +7,12 @@ indexer/store/es/es.go:163-189) issues an ES ``multi_match`` over
 and ES's ``_score`` is Lucene BM25.  The engine-core equivalent, all
 JVM-side:
 
-* ``match`` — term combination per ``operator=``: ``"or"`` is ES
-  `multi_match best_fields` parity (es.go:169-184 uses the ES DEFAULT
-  operator — OR: a doc matches if ANY analyzed token matches in either
-  field); ``"and"`` (this engine's default) is the stricter field-local
-  conjunction (ES ``operator: and``).  Relevance = the better field's
+* ``match`` — term combination per ``operator=``: ``"or"`` (the
+  DEFAULT, ES `multi_match best_fields` parity — es.go:169-184 sets no
+  operator and ES defaults to OR: a doc matches if ANY analyzed token
+  matches in either field); ``"and"`` is the opt-in stricter
+  field-local conjunction (ES ``operator: and``).  Relevance = the
+  better field's
   score under ``relevance=``:
   - ``"bm25"`` (default, ES parity): Lucene BM25 —
     ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with
@@ -312,15 +313,16 @@ def search(
     scoring: str = "pagerank",
     relevance: str = "bm25",
     stats: DataFrame | None = None,
-    operator: str = "and",
+    operator: str = "or",
 ) -> DataFrame:
     """See module docstring.  ``operator`` selects the term-combination
-    rule for ``match`` mode: ``"and"`` (this engine's stricter default —
-    every analyzed token must appear in the matching field) or ``"or"``
-    (the ES `multi_match best_fields` DEFAULT operator, es.go:169-184:
-    a document matches if ANY analyzed token matches, scored as the max
-    over fields of the sum of the matching terms' per-term BM25).  For
-    exact reference parity pass ``operator="or"``."""
+    rule for ``match`` mode: ``"or"`` (the DEFAULT — reference parity
+    with the ES `multi_match best_fields` default operator,
+    es.go:169-184 sets no operator and ES defaults to OR: a document
+    matches if ANY analyzed token matches, scored as the max over
+    fields of the sum of the matching terms' per-term BM25) or
+    ``"and"`` (opt-in strict mode — every analyzed token must appear in
+    the matching field)."""
     if operator not in ("and", "or"):
         raise ValueError(f"unknown operator {operator!r} (and | or)")
     # ES's analyzer tokenizes the query the same way as the fields; a

@@ -207,6 +207,32 @@ def test_dsir_weight_is_sum_of_bucket_llrs(spark):
     assert w.log_w == pytest.approx(expected, rel=1e-12)
 
 
+def test_dsir_unseen_bucket_degrades_to_floor_not_skipped(spark):
+    """A bucket present in a LATER scored batch but absent from BOTH
+    fitted dists must contribute the closed-form smoothing floor
+    ln(alpha/(n_p+aB)) - ln(alpha/(n_q+aB)), not be silently skipped
+    by F.sum while still counted in n_feats (r4 ADVICE)."""
+    from go_crawler_spark.functions import dsir
+
+    target = spark.createDataFrame([(1, "x x x")], "doc_id long, text string")
+    raw = spark.createDataFrame([(2, "x")], "doc_id long, text string")
+    B, alpha = 16, 1.0
+    tf = dsir.fit_feature_dist(dsir.hashed_ngram_features(target, B))
+    rf = dsir.fit_feature_dist(dsir.hashed_ngram_features(raw, B))
+    # "zzz" was seen by neither dist: its unigram bucket (and, unless it
+    # collides, the bigram bucket) has no ratio row
+    later = spark.createDataFrame([(9, "zzz")], "doc_id long, text string")
+    w = dsir.importance_log_weights(
+        dsir.hashed_ngram_features(later, B), tf, rf, B, alpha=alpha
+    ).collect()[0]
+    floor = math.log(alpha / (5 + alpha * B)) - math.log(
+        alpha / (1 + alpha * B)
+    )
+    assert w.n_feats == 1
+    assert w.log_w is not None
+    assert w.log_w == pytest.approx(floor, rel=1e-12)
+
+
 def test_dsir_gumbel_topk_deterministic_and_weight_biased(spark):
     from go_crawler_spark.functions import dsir
 

@@ -100,3 +100,97 @@ def test_streaming_incremental_exact_matches_batch(spark, tmp_path):
     assert got == {11, 13}
     # schema passes through unchanged
     assert spark.table("inc_exact").columns == new.columns
+
+
+# ---------------------------------------------------------------------------
+# Persistent DedupIndexStore (VERDICT r4 item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_index_store_three_snapshot_chain(spark, tmp_path):
+    """build -> write -> reload -> probe -> append, three snapshots, with
+    a RESTART (fresh store object over the same warehouse) between each:
+    exact dups and near-dups of ANY earlier snapshot are dropped, and
+    the indexes grow append-only."""
+    root = str(tmp_path / "wh")
+    near1 = BASE.replace("lazy", "sleepy")
+    near2 = BASE.replace("quick", "rapid")
+
+    s1 = incremental.DedupIndexStore(
+        spark, root, shingle_k=3, jaccard_threshold=0.5
+    )
+    snap1 = _docs(spark, [(1, BASE), (2, "bucketed lakehouse compaction notes")])
+    kept1 = {r.doc_id for r in s1.accept_snapshot(snap1).collect()}
+    assert kept1 == {1, 2}
+
+    # restart: new store object, same warehouse dir
+    s2 = incremental.DedupIndexStore(
+        spark, root, shingle_k=3, jaccard_threshold=0.5
+    )
+    snap2 = _docs(spark, [
+        (10, BASE),          # exact dup of snapshot-1 doc 1
+        (11, near1),         # near-dup of snapshot-1 doc 1
+        (12, "totally novel second snapshot document words"),
+    ])
+    kept2 = {r.doc_id for r in s2.accept_snapshot(snap2).collect()}
+    assert kept2 == {12}
+
+    s3 = incremental.DedupIndexStore(
+        spark, root, shingle_k=3, jaccard_threshold=0.5
+    )
+    snap3 = _docs(spark, [
+        (20, near2),  # near-dup of a SNAPSHOT-1 doc (two restarts ago)
+        (21, "totally novel second snapshot document words"),  # exact dup of 12
+        (22, "genuinely fresh third snapshot material here"),
+    ])
+    kept3 = {r.doc_id for r in s3.accept_snapshot(snap3).collect()}
+    assert kept3 == {22}
+
+    # the indexes hold exactly the survivors (1, 2, 12, 22)
+    assert s3.lake.read(s3.shingles_spec).count() == 4
+    assert s3.exact_index().count() == 4
+    # append-only: three snapshots committed per table
+    m = s3.lake._read_manifest("dedup_exact_index")
+    assert len(m["snapshots"]) == 3
+
+
+def test_dedup_index_store_param_mismatch_fails_loudly(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    incremental.DedupIndexStore(spark, root, shingle_k=3)
+    with pytest.raises(ValueError, match="banding parameters"):
+        incremental.DedupIndexStore(spark, root, shingle_k=5)
+
+
+def test_dedup_index_store_probe_prunes_exact_buckets(spark, tmp_path):
+    """The exact-index probe reads only the manifest dirs for the
+    buckets the batch's hashes can hit (Iceberg partition-pruning
+    contract) — with a 1-doc probe, strictly fewer than num_buckets
+    bucket dirs are even listed."""
+    root = str(tmp_path / "wh")
+    store = incremental.DedupIndexStore(
+        spark, root, shingle_k=3, num_buckets=8
+    )
+    snap1 = _docs(
+        spark, [(i, f"{BASE} variant {i} number {i * 13}") for i in range(40)]
+    )
+    store.accept_snapshot(snap1)
+
+    from go_crawler_spark.functions.dedup import text_hash_cols
+
+    probe_rows = _docs(spark, [(100, "one single probe document")])
+    h1, h2 = text_hash_cols("text")
+    keyed = probe_rows.withColumn("_h1", h1).withColumn("_h2", h2)
+    pruned = store.exact_index(probe=keyed)
+    full = store.exact_index()
+    # the pruned read sees a strict subset of the index rows (the other
+    # buckets' dirs are never even listed — manifest-level pruning)
+    assert pruned.count() < full.count()
+    # manifest-level check: the 1-doc probe touches exactly 1 bucket
+    assert len(store._touched_buckets(keyed, "_h1")) == 1
+    # and correctness: the pruned read still answers the probe exactly
+    joined = keyed.join(
+        pruned.select(F.col("h1").alias("_h1"), F.col("h2").alias("_h2")),
+        ["_h1", "_h2"],
+        "left_anti",
+    )
+    assert joined.count() == 1  # novel doc survives the pruned anti-join

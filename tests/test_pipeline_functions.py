@@ -1032,7 +1032,7 @@ def test_gopher_quality_passing_doc(spark):
     r = _gq(spark, base.strip())
     assert r.n_words == 56
     assert 3.0 <= r.gopher_mean_word_len <= 10.0
-    assert r.symbol_word_ratio == 0.0
+    assert r.hash_word_ratio == 0.0 and r.ellipsis_word_ratio == 0.0
     assert r.bullet_line_frac == 0.0
     assert r.ellipsis_line_frac == 0.0
     assert r.alpha_word_frac == 1.0
@@ -1050,9 +1050,14 @@ def test_gopher_quality_each_rule_fires(spark):
     # ellipsis endings breach 30%
     r = _gq(spark, base + "\nthis spiked line trails off...")
     assert r.ellipsis_line_frac == 0.5 and r.gopher_quality_pass is False
-    # symbol ratio: 7 hashes on 63 words > 0.1
+    # hash-symbol ratio: 7 hashes on 63 words > 0.1
     r = _gq(spark, base + " # # # # # # #")
-    assert r.symbol_word_ratio > 0.1 and r.gopher_quality_pass is False
+    assert r.hash_word_ratio > 0.1 and r.gopher_quality_pass is False
+    # ellipsis-symbol ratio fires INDEPENDENTLY of the hash ratio (the
+    # paper's "either" semantics): 7 mid-line ellipses on 63 words
+    r = _gq(spark, base + " ...x ...x ...x ...x ...x ...x ...x")
+    assert r.ellipsis_word_ratio > 0.1 >= (r.hash_word_ratio or 0.0)
+    assert r.gopher_quality_pass is False
     # alpha words: 15 numeric words pull the fraction under 0.8
     r = _gq(spark, base + " 000" * 15)
     assert r.alpha_word_frac < 0.8 and r.gopher_quality_pass is False

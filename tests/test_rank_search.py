@@ -58,10 +58,16 @@ def test_search_match_and_ranking(spark, ranked_crawler):
 
 
 def test_search_conjunction_semantics(spark, ranked_crawler):
-    """match mode requires ALL query tokens (bleve conjunction)."""
+    """operator='and' (opt-in strict mode) requires ALL query tokens
+    (bleve conjunction); the DEFAULT is OR (ES multi_match parity), so
+    the same query still hits every page carrying 'welcome'."""
     docs = ranked_crawler.read_documents()
-    hits = search(docs, "welcome zzzznonexistent", size=10).collect()
+    hits = search(
+        docs, "welcome zzzznonexistent", size=10, operator="and"
+    ).collect()
     assert hits == []
+    or_hits = search(docs, "welcome zzzznonexistent", size=10).collect()
+    assert len(or_hits) > 0  # golden: the default operator is OR
 
 
 def test_search_or_vs_and_operator(spark):
@@ -77,10 +83,16 @@ def test_search_or_vs_and_operator(spark):
         "url_hash long, url string, title string, text string, pagerank double",
     )
     q = "alpha beta"
-    and_hits = search(docs, q, size=10, scoring="function_score").collect()
+    and_hits = search(
+        docs, q, size=10, scoring="function_score", operator="and"
+    ).collect()
     or_hits = search(
         docs, q, size=10, scoring="function_score", operator="or"
     ).collect()
+    # golden: OR is the DEFAULT operator (ES multi_match parity,
+    # es.go:169-184 — round-5 behavioral change, see CHANGELOG.md)
+    default_hits = search(docs, q, size=10, scoring="function_score").collect()
+    assert [r.url_hash for r in default_hits] == [r.url_hash for r in or_hits]
     assert [r.url_hash for r in and_hits] == [1]  # conjunction drops doc 2
     # OR: both docs match; the both-terms doc outranks the single-term doc
     assert [r.url_hash for r in or_hits] == [1, 2]
@@ -160,7 +172,9 @@ def test_search_bm25_rare_term_beats_stopword_density(spark):
     from go_crawler_spark.operators.search import _field_tf
     from go_crawler_spark.functions.textstats import tokens_col
 
-    bm = search(docs, "spark the", size=10, scoring="function_score").collect()
+    bm = search(
+        docs, "spark the", size=10, scoring="function_score", operator="and"
+    ).collect()
     assert [r.url_hash for r in bm] == [2, 1]  # rare-term density wins
     # and plain tf really does invert it (the bug BM25 fixes)
     _, tf = _field_tf(tokens_col("text"), ["spark", "the"])
