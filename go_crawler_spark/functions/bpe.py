@@ -202,6 +202,7 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    memoize: bool = True,
 ) -> DataFrame:
     """(id_col, bpe_tokens array<string>, n_bpe_tokens): apply the
     merge list per word — Arrow-batched pandas UDF, merge list shipped
@@ -215,7 +216,8 @@ def bpe_encode(
     loop (the encoding of a word is a pure function of the merge list).
     The cache is bounded (cleared at ``_CACHE_MAX`` entries) so a
     pathological all-unique corpus cannot grow worker memory without
-    limit; natural-language vocabularies stay far under the bound."""
+    limit; natural-language vocabularies stay far under the bound.
+    ``memoize=False`` disables the cache (A/B harness only)."""
     merge_rank = {m: i for i, m in enumerate(merges)}
     _CACHE_MAX = 1_000_000
     # closure-captured: each Python worker deserializes the UDF once and
@@ -241,6 +243,8 @@ def bpe_encode(
             return syms
 
         def enc_word(w: str) -> list[str]:
+            if not memoize:
+                return enc_word_raw(w)
             enc = cache.get(w)
             if enc is None:
                 if len(cache) >= _CACHE_MAX:

@@ -66,3 +66,19 @@ def test_early_stop_and_validation(spark):
     assert bpe.train_bpe(df, num_merges=5) == []
     with pytest.raises(ValueError):
         bpe.train_bpe(df, num_merges=0)
+
+
+def test_encode_memoized_bit_identical_to_uncached(spark):
+    """The distinct-word memo cache (VERDICT r4 item 3) must not change
+    a single token: memoize=True and memoize=False produce identical
+    encodings over a corpus with heavy word repetition (the cache-hit
+    path) and unique tails (the miss path)."""
+    df = spark.createDataFrame(
+        [(i, f"lower lowest newest wider unique{i} lowest lower") for i in range(30)],
+        "doc_id long, text string",
+    )
+    merges = bpe.train_bpe(df, num_merges=12)
+    a = {r.doc_id: r.bpe_tokens for r in bpe.bpe_encode(df, merges).collect()}
+    b = {r.doc_id: r.bpe_tokens
+         for r in bpe.bpe_encode(df, merges, memoize=False).collect()}
+    assert a == b
