@@ -338,34 +338,66 @@ def gopher_repetition_full(
     by the single most frequent n-gram) and ``dup{n}gram_char_frac`` for
     n in 5-10 (characters covered by all n-grams occurring >= 2 times,
     occurrence-sum rule as in :func:`repetition_stats`) — nine columns
-    in ONE zero-shuffle projection.  Per-column NULL when the document
-    has fewer than n tokens (that n-gram size is undefined for it);
-    documents are never dropped.
+    in one zero-shuffle, Python-free projection chain.  Per-column NULL
+    when the document has fewer than n tokens (that n-gram size is
+    undefined for it); documents are never dropped.
 
-    Nine sorted-gram streaming aggregates share the one materialized
-    tokens column — same expression-safety shape as
-    :func:`_with_repetition`, O(m log m) per (row, n), embarrassingly
-    parallel."""
+    Gram construction is CHAINED (r5): the raw NULL-padded n-gram array
+    ``g_n`` is materialized as a column once per level and the next
+    level is one ``zip_with`` over it (``g_{n+1} = zip(g_n, shift)``),
+    so building all levels costs 9 zip passes instead of the 45 a
+    per-n :func:`kgrams_col` rebuild pays — Catalyst cannot share those
+    itself (lambda-bearing expressions are excluded from subexpression
+    elimination) and cannot collapse the chain back into a rebuild
+    (each ``g_n`` alias is referenced twice — by its aggregate and by
+    the next level — and CollapseProject never duplicates non-cheap
+    multi-referenced aliases).  A/B at sf0.1: x2.08 over the per-n
+    rebuild, bit-identical output (BASELINE.md).  Every level keeps the
+    expression-safety invariant of :func:`kgrams_col` — captured arrays
+    appear only as direct HOF children, never inside a lambda body.
+    Still O(m log m) per (row, n), embarrassingly parallel."""
     t = _toks_or(text_col, toks)
-    base = df.select(F.col(id_col), F.col(text_col), t.alias("_t"))
-    m = F.size(F.col("_t"))
-    nchars = F.length(F.col(text_col))
+    ns = sorted(set(top_ns) | set(dup_ns))
+    out = (
+        df.select(F.col(id_col), F.col(text_col).alias("_txt"), t.alias("_t"))
+        .withColumn("_m", F.size("_t"))
+        .withColumn("_nc", F.length("_txt"))
+        .drop("_txt")
+        .withColumn("_g", F.col("_t"))  # level 1: the tokens themselves
+    )
+    m = F.col("_m")
+    for n in range(2, max(ns) + 1):
+        # zip pads the shorter (shifted) side with NULL; concat
+        # propagates it, so g_n carries a NULL tail of n-1 entries that
+        # the per-level slice below drops (same shape as kgrams_col).
+        out = out.withColumn(
+            "_g",
+            F.zip_with(
+                F.col("_g"),
+                F.slice(F.col("_t"), n, F.greatest(m - (n - 1), F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        )
+        if n in ns:
+            sliced = F.slice(F.col("_g"), 1, F.greatest(m - (n - 1), F.lit(0)))
+            out = out.withColumn(
+                f"_agg{n}", _repetition_aggs(F.array_sort(sliced))
+            )
     cols = [F.col(id_col)]
+    nchars = F.col("_nc")
     for n in top_ns:
-        agg = _repetition_aggs(F.array_sort(kgrams_col(F.col("_t"), n)))
         cols.append(
-            F.when(m >= n, F.round(agg["top"] / nchars, 6)).alias(
+            F.when(m >= n, F.round(F.col(f"_agg{n}")["top"] / nchars, 6)).alias(
                 f"top{n}gram_char_frac"
             )
         )
     for n in dup_ns:
-        agg = _repetition_aggs(F.array_sort(kgrams_col(F.col("_t"), n)))
         cols.append(
-            F.when(m >= n, F.round(agg["dup"] / nchars, 6)).alias(
+            F.when(m >= n, F.round(F.col(f"_agg{n}")["dup"] / nchars, 6)).alias(
                 f"dup{n}gram_char_frac"
             )
         )
-    return base.select(*cols)
+    return out.select(*cols)
 
 
 def merged_dup_coverage_col(toks: Column, n: int = 5) -> Column:
@@ -378,6 +410,12 @@ def merged_dup_coverage_col(toks: Column, n: int = 5) -> Column:
     ``start_{i+1} = start_i + len(tok_i) + 1``; the union of duplicated
     spans is one forward pass keeping the last covered end.  Returns the
     covered-character count (long); divide by the caller's denominator.
+
+    This is the REFERENCE formulation (one self-contained Column); its
+    multi-referenced subtrees re-evaluate under interpreted HOF eval, so
+    the production path is :func:`repetition_stats_merged`, which stages
+    the same intermediates as materialized columns (x2.76 at sf0.1,
+    bit-identical).
 
     Zero shuffle, expression-safe (every lambda touches only its own
     arguments; captured arrays are direct HOF children), O(m log m):
@@ -471,9 +509,107 @@ def repetition_stats_merged(
     space-joined token stream length (the space the intervals live in),
     making 1.0 exactly reachable for a fully-duplicated document.
     Documents with fewer than ``dup_n`` tokens are dropped, as in
-    :func:`repetition_stats`."""
+    :func:`repetition_stats`.
+
+    STAGED construction (r5): the intermediate arrays of
+    :func:`merged_dup_coverage_col` — grams, the sorted (gram, idx)
+    structs, the neighbor-flagged structs, the re-sort — are
+    materialized as chained columns, each evaluated exactly once.  In
+    the single-expression reference formulation the multi-referenced
+    subtrees are re-evaluated (the sorted struct array 4x, the gram
+    array 5x) because lambda-bearing expressions are excluded from
+    Catalyst's subexpression elimination; as materialized aliases they
+    are referenced as attributes, and CollapseProject keeps each
+    boundary (non-cheap aliases referenced more than once are never
+    inlined).  A/B at sf0.1: x2.76 over the reference formulation,
+    bit-identical output (BASELINE.md)."""
+    n = dup_n
     t = _toks_or(text_col, toks)
-    base = df.select(F.col(id_col), t.alias("_t")).where(F.size("_t") >= dup_n)
+    base = df.select(F.col(id_col), t.alias("_t")).where(F.size("_t") >= n)
+    m = F.size(F.col("_t"))
+    ng = F.greatest(m - (n - 1), F.lit(0))
+    out = base.withColumn("_grams", kgrams_col(F.col("_t"), n))
+    # sorted (gram, original-index) structs: duplicated occurrences are
+    # sorted-neighbors (step 1 of merged_dup_coverage_col)
+    out = out.withColumn(
+        "_tagged",
+        F.array_sort(
+            F.zip_with(
+                F.col("_grams"),
+                F.sequence(F.lit(0), ng - 1),
+                lambda g, i: F.struct(g.alias("g"), i.alias("i")),
+            )
+        ),
+    )
+    # neighbor-equality against the array's own shift
+    out = out.withColumn(
+        "_wn",
+        F.zip_with(
+            F.col("_tagged"),
+            F.slice(F.col("_tagged"), 2, F.greatest(ng - 1, F.lit(0))),
+            lambda a, b: F.struct(
+                a["g"].alias("g"),
+                a["i"].alias("i"),
+                F.coalesce(a["g"] == b["g"], F.lit(False)).alias("eq_next"),
+            ),
+        ),
+    )
+    # dup flag = equal to either sorted-neighbor; carry the original idx
+    out = out.withColumn(
+        "_fs",
+        F.zip_with(
+            F.slice(F.col("_wn"), 1, ng),
+            F.concat(
+                F.array(F.lit(None).cast("struct<g:string,i:int,eq_next:boolean>")),
+                F.slice(F.col("_wn"), 1, F.greatest(ng - 1, F.lit(0))),
+            ),
+            lambda a, p: F.struct(
+                a["i"].alias("i"),
+                (a["eq_next"] | F.coalesce(p["eq_next"], F.lit(False))).alias("dup"),
+            ),
+        ),
+    )
+    # scatter back to document order (step 2), then the single
+    # O(1)-accumulator interval-union pass (step 3)
+    out = out.withColumn(
+        "_flags", F.transform(F.array_sort(F.col("_fs")), lambda s: s["dup"])
+    )
+    toklens = F.transform(F.col("_t"), lambda x: F.length(x))
+    gramlens = F.transform(F.col("_grams"), lambda g: F.length(g))
+    data = F.zip_with(
+        F.zip_with(
+            F.col("_flags"),
+            F.slice(toklens, 1, ng),
+            lambda fl, tl: F.struct(fl.alias("dup"), tl.alias("tl")),
+        ),
+        gramlens,
+        lambda a, gl: F.struct(
+            a["dup"].alias("dup"), a["tl"].alias("tl"), gl.alias("gl")
+        ),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("last_end"),
+        F.lit(0).cast("long").alias("covered"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        end = acc["pos"] + x["gl"].cast("long")
+        add = F.when(
+            x["dup"],
+            F.greatest(
+                end - F.greatest(acc["pos"], acc["last_end"]), F.lit(0).cast("long")
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            (acc["pos"] + x["tl"].cast("long") + 1).alias("pos"),
+            F.when(x["dup"], F.greatest(acc["last_end"], end))
+            .otherwise(acc["last_end"])
+            .alias("last_end"),
+            (acc["covered"] + add).alias("covered"),
+        )
+
+    covered = F.aggregate(data, init, step, lambda acc: acc["covered"])
     stream_len = (
         F.aggregate(
             F.col("_t"),
@@ -483,10 +619,9 @@ def repetition_stats_merged(
         + F.size("_t").cast("long")
         - 1
     )
-    covered = merged_dup_coverage_col(F.col("_t"), dup_n)
-    return base.select(
+    return out.select(
         id_col,
-        F.round(covered / stream_len, 6).alias(f"dup{dup_n}gram_char_frac_merged"),
+        F.round(covered / stream_len, 6).alias(f"dup{n}gram_char_frac_merged"),
     )
 
 
