@@ -483,17 +483,29 @@ def cut_duplicate_spans(
         ),
     ).otherwise(F.array().cast("array<struct<w:string,i:int>>"))
     spans_arr = F.coalesce(F.col("_spans"), F.array())
-    kept = F.filter(
-        idxed,
-        lambda x: ~F.exists(
-            spans_arr,
-            lambda s: (x["i"] >= s["span_start"]) & (x["i"] <= s["span_end"]),
+    # the survivor filter is MATERIALIZED once ("_kept"): the final
+    # select reads it twice (re-join + size), and as a raw expression
+    # each reference would re-run the filter+zip chain per row — the
+    # same no-CSE-for-lambdas hazard documented at kgrams_col.
+    # CollapseProject keeps the boundary (non-cheap alias, two refs).
+    # A/B at sf0.1: no measurable change (the spans join dominates
+    # there); kept because the double-eval grows with document length.
+    kept = base.withColumn(
+        "_kept",
+        F.filter(
+            idxed,
+            lambda x: ~F.exists(
+                spans_arr,
+                lambda s: (x["i"] >= s["span_start"]) & (x["i"] <= s["span_end"]),
+            ),
         ),
     )
-    return base.select(
+    return kept.select(
         F.col("id").alias(id_col),
-        F.array_join(F.transform(kept, lambda x: x["w"]), " ").alias("clean_text"),
-        (n - F.size(kept)).alias("n_cut_tokens"),
+        F.array_join(
+            F.transform(F.col("_kept"), lambda x: x["w"]), " "
+        ).alias("clean_text"),
+        (n - F.size("_kept")).alias("n_cut_tokens"),
     )
 
 
