@@ -244,6 +244,17 @@ class Crawler:
         # of re-scanning + re-reconciling the growing appended table from
         # disk (the appends stay — they are the durability/resume story).
         self._frontier: DataFrame | None = None
+        # Pipelined durability sinks: the frontier/edges appends of
+        # iteration i stay in flight while iteration i+1 computes, and are
+        # joined just before i+1's own appends (per-table commit ordering)
+        # — the reference's broadcast-to-sinks overlap extended ACROSS
+        # iterations.  Holds (iteration, futures, partial snaps/metrics).
+        self._pending: dict | None = None
+        self._sink_pool = None
+        # True after a resume: the in-memory Bloom was seeded from a disk
+        # snapshot that may predate some appends, so Bloom false NEGATIVES
+        # are possible and the frontier refresh must re-verify novelty.
+        self._resumed = False
 
     # -- state / checkpointing ----------------------------------------------
 
@@ -271,6 +282,37 @@ class Crawler:
                 "ts": time.time(),
             }
         )
+
+    def _get_sink_pool(self):
+        if self._sink_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._sink_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="gcs-sink"
+            )
+        return self._sink_pool
+
+    def _resolve_pending(self) -> dict | None:
+        """Join the in-flight frontier/edges appends of the previous
+        iteration, finalize its metrics (footer counts) and write its
+        checkpoint record.  The blocking time recorded as that iteration's
+        ``sink_writes`` phase is the RESIDUAL critical-path cost — the
+        part of the sink latency the next iteration's compute did not
+        hide.  Called before the next iteration's appends (per-table
+        manifest parent chain), before compaction, and at run end."""
+        p, self._pending = self._pending, None
+        if p is None:
+            return None
+        t_wait = time.time()
+        p["snaps"]["frontier"], dcounts = p["f_delta"].result()
+        p["snaps"]["edges"] = p["f_edges"].result()
+        m = p["metrics"]
+        m["selected"] = dcounts.get("marks", 0)
+        m["new_urls"] = dcounts.get("new", 0)
+        m["phases"]["sink_writes"] = round(time.time() - t_wait, 3)
+        self._checkpoint(p["iteration"], p["snaps"], m)
+        self.metrics.append({"iteration": p["iteration"], **m})
+        return m
 
     def resume_point(self) -> dict | None:
         complete = [
@@ -422,7 +464,10 @@ class Crawler:
 
     @staticmethod
     def _refresh_frontier(
-        frontier: DataFrame, marks: DataFrame, new_rows: DataFrame, n_new: int
+        frontier: DataFrame,
+        marks: DataFrame,
+        new_rows: DataFrame,
+        exact_new: bool = True,
     ) -> DataFrame:
         """Next iteration's hot frontier, O(delta) instead of O(state).
 
@@ -441,13 +486,20 @@ class Crawler:
         preserved it), and unions the new rows.
 
         Semantics vs the groupBy reconcile: identical for the normal
-        path (marks only touch existing keys; new_rows keys are exactly
-        anti-joined against the frontier by ``filter_unseen``).  The one
-        divergence is the stale-Bloom resume corner where a seen URL can
-        re-enter ``new_rows`` as a Bloom false-negative: the reconcile
-        MERGED such a duplicate (bumping priority), this path DROPS it
-        via the same anti-join the normal discovery path applies — the
-        disk appends still record it, and the disk reconcile absorbs it.
+        path — in a fresh-crawl run (``exact_new=True``) ``new_rows``
+        keys are EXACTLY anti-joined against the frontier by
+        ``filter_unseen`` (Bloom negatives are definitive, Bloom maybes
+        go through the exact anti-join), so they union in directly.
+        Only a RESUMED run (``exact_new=False``) can see a Bloom false
+        negative — the in-memory Bloom was seeded from a disk snapshot
+        that may predate some appends — and there a seen URL could
+        re-enter ``new_rows``; that path keeps the defensive anti-join
+        (the reconcile MERGED such a duplicate, this path DROPS it — the
+        disk appends still record it, and the disk reconcile absorbs it).
+        Dropping the defensive join from the hot path removes an
+        O(frontier-keys) exchange per iteration AND removes the refresh's
+        dependency on the new-row COUNT, which lets the frontier/edges
+        sinks (the count's source) pipeline across iterations.
         """
         upd = marks.groupBy("url_hash").agg(
             F.max("retrieved_at").alias("_r"),
@@ -462,12 +514,16 @@ class Crawler:
             F.greatest("retrieved_at", "_r").alias("retrieved_at"),
             F.greatest("last_attempt", "_a").alias("last_attempt"),
         )
-        if n_new:
-            fresh = new_rows.join(
+        fresh = new_rows
+        if not exact_new:
+            fresh = fresh.join(
                 frontier.select("url_hash"), "url_hash", "left_anti"
             )
-            merged = merged.unionByName(fresh.select(*merged.columns))
-        return merged
+        # Unconditional union: when no links were discovered the branch
+        # scans already-materialized empty checkpoint blocks — O(tasks),
+        # no data.  (The old code gated this on the footer-counted n_new,
+        # which would serialize the refresh behind the frontier append.)
+        return merged.unionByName(fresh.select(*merged.columns))
 
     def read_frontier(self) -> DataFrame:
         """The reconciled frontier: the hot in-memory copy when the loop
@@ -751,8 +807,6 @@ class Crawler:
             F.lit(pass_ts).alias("updated_at"),
         )
 
-        from concurrent.futures import ThreadPoolExecutor
-
         def timed(tag, fn, *a):
             def call():
                 ts = time.time()
@@ -770,8 +824,10 @@ class Crawler:
         # pass (VERDICT r4 item 4a — the sink that used to re-read the
         # text payload from the block manager now overlaps extraction
         # entirely).  The "extract" phase mark therefore lands AFTER it:
-        # the phase now means extraction+docs-write, and "sink_writes"
-        # covers the two remaining concurrent sinks.
+        # the phase means extraction+docs-write.  The two remaining sinks
+        # are PIPELINED: submitted below, joined during the NEXT iteration
+        # (so "sink_writes", recorded at resolve time, is only the
+        # residual wait the next iteration's compute failed to hide).
         t_docs0 = time.time()
         snaps["documents"], n_fetched = self.lake.append_counted(
             self.t_documents, docs, self._clustered
@@ -779,31 +835,34 @@ class Crawler:
         if cfg.profile_phases:
             phases["sink_docs"] = round(time.time() - t_docs0, 3)
         t_ph = mark("extract", t0)
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            # ONE tagged frontier append: attempt-marks + newly discovered
-            # URLs in a single job/commit (J1 greatest(retrieved_at)
-            # semantics via reconcile); per-tag footer counts = metrics
-            f_delta = pool.submit(timed(
-                "sink_frontier",
-                self.lake.append_tagged,
-                self.t_frontier,
-                delta,
-                "_delta",
-                self._clustered,
-            ))
-            # edges + null-dst re-crawl markers (J2 + U2 via reconcile)
-            f_edges = pool.submit(timed(
-                "sink_edges",
-                self.lake.append,
-                self.t_edges,
-                new_edges.unionByName(markers),
-                self._clustered,
-            ))
-            snaps["frontier"], dcounts = f_delta.result()
-            snaps["edges"] = f_edges.result()
-        n_selected = dcounts.get("marks", 0)
-        n_new = dcounts.get("new", 0)
-        t_ph = mark("sink_writes", t_ph)
+        # Join the PREVIOUS iteration's in-flight frontier/edges appends
+        # now — their latency (job scheduling, shuffle barriers, dynamic-
+        # partition commit: a per-iteration floor that does NOT shrink
+        # with cores) has been overlapped by this iteration's select/
+        # fetch/extract+docs work.  This iteration's appends must commit
+        # AFTER them: the manifest parent chain is per table.
+        self._resolve_pending()
+        pool = self._get_sink_pool()
+        # ONE tagged frontier append: attempt-marks + newly discovered
+        # URLs in a single job/commit (J1 greatest(retrieved_at)
+        # semantics via reconcile); per-tag footer counts = metrics
+        f_delta = pool.submit(timed(
+            "sink_frontier",
+            self.lake.append_tagged,
+            self.t_frontier,
+            delta,
+            "_delta",
+            self._clustered,
+        ))
+        # edges + null-dst re-crawl markers (J2 + U2 via reconcile)
+        f_edges = pool.submit(timed(
+            "sink_edges",
+            self.lake.append,
+            self.t_edges,
+            new_edges.unionByName(markers),
+            self._clustered,
+        ))
+        t_ph = mark("sink_submit", t_ph)
 
         # -- state refresh: both LAZY checkpoints over already-materialized
         # blocks.  No extra jobs here — the next iteration's first consumer
@@ -822,19 +881,32 @@ class Crawler:
         # Next iteration's hot frontier: reconcile(old ∪ this delta),
         # truncated so lineage stays flat across iterations.
         self._frontier = self._refresh_frontier(
-            frontier, marks, new_rows, n_new
+            frontier, marks, new_rows, exact_new=not self._resumed
         ).localCheckpoint(eager=cfg.profile_phases)
         mark("state_refresh", t_ph)
 
+        # Provisional metrics: selected/new_urls counts come from the
+        # in-flight appends' parquet footers and are filled in (and the
+        # iteration's checkpoint written) when the pending sinks resolve —
+        # during the next iteration, or at the run-level flush.  n_fetched
+        # is exact already (docs footers, synchronous): it alone decides
+        # the drain (fetched==0 ⟹ extracted empty ⟹ no links ⟹ no
+        # new URLs, so the old selected==0 ∧ new==0 test is implied one
+        # iteration earlier with an identical final state).
         metrics = {
-            "selected": n_selected,
+            "selected": None,
             "fetched": n_fetched,
-            "new_urls": n_new,
+            "new_urls": None,
             "elapsed_sec": round(time.time() - t0, 3),
             "phases": phases,
         }
-        self._checkpoint(iteration, snaps, metrics)
-        self.metrics.append({"iteration": iteration, **metrics})
+        self._pending = {
+            "iteration": iteration,
+            "f_delta": f_delta,
+            "f_edges": f_edges,
+            "snaps": snaps,
+            "metrics": metrics,
+        }
         return metrics
 
     # -- the loop ---------------------------------------------------------------
@@ -861,6 +933,10 @@ class Crawler:
                     "count is immutable per warehouse"
                 )
             self._pin_snapshots(rp)
+            # the disk Bloom snapshot may predate appends (it is only
+            # rewritten at compaction): false negatives possible, so the
+            # frontier refresh keeps its defensive novelty anti-join
+            self._resumed = True
             # one eager reconcile of the pinned snapshot seeds the hot
             # frontier cache (otherwise the first iteration would re-derive
             # the disk reconcile once per consuming job)
@@ -875,12 +951,32 @@ class Crawler:
             start_iter = 1
 
         run_start = _now()
-        for i in range(start_iter, self.cfg.max_iterations + 1):
-            m = self.run_iteration(i, run_start)
-            if i % self.cfg.compact_interval == 0:
-                self.compact(i)
-            if m["selected"] == 0 and m["new_urls"] == 0:
-                break  # frontier drained
+        try:
+            for i in range(start_iter, self.cfg.max_iterations + 1):
+                m = self.run_iteration(i, run_start)
+                if i % self.cfg.compact_interval == 0:
+                    # compaction rewrites frontier/edges: the in-flight
+                    # appends must be committed (and checkpointed) first
+                    self._resolve_pending()
+                    self.compact(i)
+                if m["fetched"] == 0:
+                    # Probably drained — but fetched==0 with selected>0
+                    # (every selected URL failed its fetch while other
+                    # due URLs remain beyond the politeness top-k cut)
+                    # must NOT stop the crawl.  The exact drain test is
+                    # the reference's selected==0 ∧ new==0; those counts
+                    # live in this iteration's in-flight sink footers, so
+                    # resolve it synchronously (the loop is idle anyway —
+                    # fetched==0 means there is no compute to overlap)
+                    # and apply the original condition.
+                    self._resolve_pending()
+                    if m["selected"] == 0 and m["new_urls"] == 0:
+                        break
+        finally:
+            self._resolve_pending()
+            if self._sink_pool is not None:
+                self._sink_pool.shutdown(wait=True)
+                self._sink_pool = None
         return self.metrics
 
 

@@ -340,3 +340,40 @@ def test_url_gate_blocks_discovered_candidates(spark, tmp_warehouse):
     assert docs == {"http://srv1.test", "http://srv2.test"}
     # no edge may point at a gated URL
     assert crawler.read_edges().count() == 0
+
+
+def test_all_failed_fetch_iteration_does_not_drain(spark, tmp_warehouse):
+    """An iteration where every SELECTED URL fails its fetch (selected>0,
+    fetched==0) must not end the crawl while other due URLs remain beyond
+    the politeness/global cap — the reference drains only on
+    selected==0 ∧ new==0.  With the pipelined sinks those counts live in
+    the in-flight append's footers, so the loop must resolve them before
+    judging the drain (crawl.py run()); a bare fetched==0 break would
+    stop here one iteration early and never index the live seeds."""
+    pages = fixtures.golden_pages(spark)
+    live = ["http://srv1.test", "http://srv2.test"]
+    # politeness order at equal priority is url_hash ASC: pick a dead seed
+    # whose xxhash64 sorts before both live seeds so the max_urls_per_iter=1
+    # first iteration selects ONLY the dead URL
+    cands = [f"http://dead{i}.test" for i in range(40)]
+    hashes = {
+        r.url: r.h
+        for r in spark.createDataFrame(
+            [(u,) for u in cands + live], "url string"
+        ).select("url", F.xxhash64("url").alias("h")).collect()
+    }
+    floor = min(hashes[u] for u in live)
+    dead = next(u for u in cands if hashes[u] < floor)
+
+    crawler = Crawler(
+        spark, tmp_warehouse, pages,
+        CrawlConfig(max_iterations=8, bloom_buckets=4, max_urls_per_iter=1),
+    )
+    crawler.run(seed_urls=[dead] + live)
+
+    # the corner actually happened: iteration 1 selected one URL, fetched none
+    m1 = crawler.metrics[0]
+    assert m1["selected"] == 1 and m1["fetched"] == 0 and m1["new_urls"] == 0
+    # and the crawl went on to fetch the live seeds afterwards
+    docs = {r.url for r in crawler.read_documents().collect()}
+    assert set(live) <= docs
