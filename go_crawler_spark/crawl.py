@@ -546,6 +546,10 @@ class Crawler:
         files — and flush the in-memory Bloom shards to disk (their
         durable cadence; staleness in between is safe, see the Bloom
         refresh note in run_iteration)."""
+        # compaction rewrites frontier/edges: any in-flight pipelined
+        # appends must commit first (run() already orders this; the
+        # guard makes direct compact() calls safe too)
+        self._resolve_pending()
         c = self._clustered
         snaps = {
             "frontier": self.lake.compact_table(
@@ -955,9 +959,7 @@ class Crawler:
             for i in range(start_iter, self.cfg.max_iterations + 1):
                 m = self.run_iteration(i, run_start)
                 if i % self.cfg.compact_interval == 0:
-                    # compaction rewrites frontier/edges: the in-flight
-                    # appends must be committed (and checkpointed) first
-                    self._resolve_pending()
+                    # compact() resolves any in-flight appends itself
                     self.compact(i)
                 if m["fetched"] == 0:
                     # Probably drained — but fetched==0 with selected>0
