@@ -2913,9 +2913,13 @@ _ORDER = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    assert set(_ORDER) == set(_Q), (
-        sorted(set(_ORDER) ^ set(_Q))
-    )  # every registered entry is ordered, nothing silently dropped
+    # every registered entry is ordered, nothing silently dropped —
+    # an explicit raise (not assert) so `python -O` can't compile the
+    # guard away and silently omit an unordered entry
+    if set(_ORDER) != set(_Q):
+        raise RuntimeError(
+            f"registry/_ORDER mismatch: {sorted(set(_ORDER) ^ set(_Q))}"
+        )
     return {name: _Q[name] for name in _ORDER}
 
 

@@ -314,6 +314,14 @@ class Crawler:
         self.metrics.append({"iteration": p["iteration"], **m})
         return m
 
+    def flush_pending(self) -> dict | None:
+        """Public barrier for callers driving :meth:`run_iteration`
+        directly: join the in-flight appends, finalize the iteration's
+        counts/checkpoint (see the pipelined-sink contract there), and
+        return its completed metrics dict (``None`` if nothing was
+        pending)."""
+        return self._resolve_pending()
+
     def resume_point(self) -> dict | None:
         complete = [
             r
@@ -582,6 +590,20 @@ class Crawler:
     # -- one iteration ---------------------------------------------------------
 
     def run_iteration(self, iteration: int, run_start: datetime) -> dict:
+        """One BFS iteration: select → fetch → extract(+docs sink) →
+        novelty → submit frontier/edges appends → refresh hot state.
+
+        PIPELINED-SINK CONTRACT: the returned metrics dict is
+        PROVISIONAL — ``fetched`` and ``phases`` are exact, but
+        ``selected``/``new_urls`` are ``None`` until the iteration's
+        in-flight appends resolve (their values come from the appends'
+        parquet footers), and the iteration's checkpoint record is
+        written at that same point.  ``run()`` resolves automatically
+        (next iteration / compaction / loop exit); callers driving
+        iterations manually MUST call :meth:`flush_pending` before
+        reading those counts, relying on the checkpoint, or exiting —
+        the dict is filled in place, so the reference returned here
+        becomes complete once flushed."""
         cfg = self.cfg
         pass_ts = _now()
         t0 = time.time()
@@ -974,8 +996,19 @@ class Crawler:
                     self._resolve_pending()
                     if m["selected"] == 0 and m["new_urls"] == 0:
                         break
-        finally:
+        except BaseException:
+            # The loop's own failure is the root cause; join the in-flight
+            # appends without letting a secondary sink error replace it.
+            try:
+                self._resolve_pending()
+            except Exception:
+                pass
+            raise
+        else:
+            # Success path: a failed final append is a durability failure
+            # and MUST surface.
             self._resolve_pending()
+        finally:
             if self._sink_pool is not None:
                 self._sink_pool.shutdown(wait=True)
                 self._sink_pool = None

@@ -220,9 +220,12 @@ def bpe_encode(
     ``memoize=False`` disables the cache (A/B harness only)."""
     merge_rank = {m: i for i, m in enumerate(merges)}
     _CACHE_MAX = 1_000_000
-    # closure-captured: each Python worker deserializes the UDF once and
-    # reuses it across Arrow batches, so this dict is a per-worker
-    # memo table (empty on the driver; populated worker-side only)
+    # closure-captured: cloudpickle ships the (empty) dict by value with
+    # the UDF, so each deserialization gets a fresh one — the memo scope
+    # is one UDF deserialization, i.e. AT BEST per-worker, in practice
+    # per-task when tasks re-deserialize.  It still amortizes across all
+    # Arrow batches and rows of that scope, where Zipf repetition lives;
+    # _CACHE_MAX therefore bounds memory per task, not per executor.
     cache: dict = {}
 
     @F.pandas_udf(T.ArrayType(T.StringType()))

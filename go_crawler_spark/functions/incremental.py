@@ -364,7 +364,13 @@ class DedupIndexStore:
         p = self.params
         h1, h2 = text_hash_cols(text_col)
         batch = exact_dedup(new_df, text_col, id_col)
-        keyed = batch.withColumn("_h1", h1).withColumn("_h2", h2)
+        # Persist the keyed batch for the duration of the accept: its
+        # lineage (the exact-dedup shuffle + per-text hashing) otherwise
+        # recomputes for each consumer — the touched-bucket collect, the
+        # anti-join, and the near-dedup probe each trigger it.
+        keyed = (
+            batch.withColumn("_h1", h1).withColumn("_h2", h2).persist()
+        )
         exact_idx = self.exact_index(probe=keyed)
         fresh = (
             keyed.join(
@@ -404,4 +410,8 @@ class DedupIndexStore:
         except Exception:
             survivors.unpersist()
             raise
+        finally:
+            # survivors' cache is populated by the first append above,
+            # so the upstream keyed batch is no longer needed either way
+            keyed.unpersist()
         return survivors

@@ -76,34 +76,35 @@ def mixture_rates(
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
-    # the inner join below silently drops a weights key naming a source
+    # An inner join would silently drop a weights key naming a source
     # absent from the census (e.g. a typo) — the caller would believe
     # the source is represented; validate eagerly instead (r4 ADVICE).
-    # The census is a per-source aggregate (O(#sources) rows), so the
-    # collect is bounded.
-    census_sources = {
-        r[0] for r in census.select(source_col).distinct().collect()
-    }
+    # ONE bounded collect pays the census plan exactly once (it may be
+    # an expensive corpus-wide aggregate) and serves both the validation
+    # and the rate math — the census is O(#sources) rows by construction
+    # and the result is a tiny broadcast-shaped table either way.
+    rows = census.select(source_col, "n_tokens").collect()
+    census_sources = {r[0] for r in rows}
     unmatched = sorted(set(weights) - census_sources)
     if unmatched:
         raise ValueError(
             f"weights name sources absent from the census: {unmatched}; "
             f"census has {sorted(census_sources)}"
         )
-    pairs = [(s, float(w) / total_w) for s, w in sorted(weights.items())]
-    wdf = census.sparkSession.createDataFrame(
-        pairs, f"{source_col} string, _w double"
-    )
-    return (
-        census.where(F.col("n_tokens") > 0)
-        .join(wdf, source_col, "inner")
-        .select(
-            source_col,
-            F.least(
-                F.col("_w") * F.lit(float(token_budget)) / F.col("n_tokens"),
-                F.lit(float(max_epochs)),
-            ).alias("rate"),
+    norm = {s: float(w) / total_w for s, w in weights.items()}
+    rates = sorted(
+        (
+            r[0],
+            min(
+                norm[r[0]] * float(token_budget) / float(r[1]),
+                float(max_epochs),
+            ),
         )
+        for r in rows
+        if r[0] in norm and r[1] is not None and r[1] > 0
+    )
+    return census.sparkSession.createDataFrame(
+        rates, f"{source_col} string, rate double"
     )
 
 

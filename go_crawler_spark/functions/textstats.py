@@ -358,6 +358,8 @@ def gopher_repetition_full(
     Still O(m log m) per (row, n), embarrassingly parallel."""
     t = _toks_or(text_col, toks)
     ns = sorted(set(top_ns) | set(dup_ns))
+    if any(n < 1 for n in ns):
+        raise ValueError(f"n-gram sizes must be >= 1, got {ns}")
     out = (
         df.select(F.col(id_col), F.col(text_col).alias("_txt"), t.alias("_t"))
         .withColumn("_m", F.size("_t"))
@@ -366,7 +368,9 @@ def gopher_repetition_full(
         .withColumn("_g", F.col("_t"))  # level 1: the tokens themselves
     )
     m = F.col("_m")
-    for n in range(2, max(ns) + 1):
+    if 1 in ns:  # unigrams: the token array itself, no NULL tail to slice
+        out = out.withColumn("_agg1", _repetition_aggs(F.array_sort(F.col("_g"))))
+    for n in range(2, max(ns, default=1) + 1):
         # zip pads the shorter (shifted) side with NULL; concat
         # propagates it, so g_n carries a NULL tail of n-1 entries that
         # the per-level slice below drops (same shape as kgrams_col).

@@ -342,6 +342,32 @@ def test_url_gate_blocks_discovered_candidates(spark, tmp_warehouse):
     assert crawler.read_edges().count() == 0
 
 
+def test_manual_iteration_flush_pending_contract(spark, tmp_warehouse):
+    """Callers driving run_iteration() directly (not via run()) get a
+    PROVISIONAL metrics dict — selected/new_urls None, no checkpoint —
+    until flush_pending() joins the in-flight appends; the dict is then
+    completed IN PLACE and the iteration's checkpoint record exists."""
+    from go_crawler_spark.crawl import _now
+
+    pages = fixtures.golden_pages(spark)
+    crawler = Crawler(
+        spark, tmp_warehouse, pages,
+        CrawlConfig(max_iterations=5, bloom_buckets=4),
+    )
+    crawler.seed(["http://srv1.test"])
+    m = crawler.run_iteration(1, _now())
+    assert m["fetched"] == 1                      # exact immediately
+    assert m["selected"] is None and m["new_urls"] is None
+    # checkpoint deferred: the latest complete record is still the seed
+    assert crawler.resume_point()["iteration"] == 0
+
+    done = crawler.flush_pending()
+    assert done is m                              # same dict, completed
+    assert m["selected"] == 1 and m["new_urls"] is not None
+    assert crawler.resume_point()["iteration"] == 1
+    assert crawler.flush_pending() is None        # idempotent
+
+
 def test_all_failed_fetch_iteration_does_not_drain(spark, tmp_warehouse):
     """An iteration where every SELECTED URL fails its fetch (selected>0,
     fetched==0) must not end the crawl while other due URLs remain beyond

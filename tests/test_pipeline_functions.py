@@ -1019,6 +1019,34 @@ def test_gopher_full_consistent_with_pairwise(spark, documents):
     assert g[2].dup5gram_char_frac is None
 
 
+def test_gopher_full_unigram_and_empty_levels(spark):
+    """n=1 must work (the chained construction starts its zip loop at
+    n=2, so unigrams come straight off the token array — a regression
+    the r5 chaining introduced), and empty level sets must degrade to
+    the id-only frame instead of raising on max(())."""
+    from go_crawler_spark.functions.textstats import gopher_repetition_full
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "x y")], ["doc_id", "text"]
+    )
+    g = {
+        r.doc_id: r
+        for r in gopher_repetition_full(df, top_ns=(1, 2), dup_ns=()).collect()
+    }
+    # doc 1: top unigram "aa" covers 4 of 11 chars
+    assert g[1].top1gram_char_frac == round(4 / 11, 6)
+    assert g[1].top2gram_char_frac is not None
+    assert g[2].top1gram_char_frac == round(1 / 3, 6)
+
+    empty = gopher_repetition_full(df, top_ns=(), dup_ns=())
+    assert empty.columns == ["doc_id"] and empty.count() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gopher_repetition_full(df, top_ns=(0,), dup_ns=())
+
+
 # -- Gopher table-A1 quality rules (non-repetition half) ---------------------
 
 
