@@ -2454,6 +2454,90 @@ def gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_stats(spiked).drop("text").orderBy("doc_id")
 
 
+_DUP_STRUCT_ORACLE = """
+    WITH spiked AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || 'repeat me line' || chr(10) || 'repeat me line'
+                ELSE '' END
+        || CASE WHEN doc_id % 9 = 0
+                THEN chr(10) || chr(10) || 'repeated para block'
+                  || chr(10) || chr(10) || 'repeated para block'
+                ELSE '' END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, length(text) AS nc,
+             regexp_split_to_array(text, '\\n+') AS ls,
+             regexp_split_to_array(text, '\\n{2,}') AS ps
+      FROM spiked
+    ),
+    lstat AS (
+      SELECT doc_id, sum(c - 1) AS dup_n, sum((c - 1) * length(e)) AS dup_ch
+      FROM (SELECT doc_id, e, count(*) AS c
+            FROM (SELECT doc_id, unnest(ls) AS e FROM base)
+            GROUP BY doc_id, e)
+      GROUP BY doc_id
+    ),
+    pstat AS (
+      SELECT doc_id, sum(c - 1) AS dup_n, sum((c - 1) * length(e)) AS dup_ch
+      FROM (SELECT doc_id, e, count(*) AS c
+            FROM (SELECT doc_id, unnest(ps) AS e FROM base)
+            GROUP BY doc_id, e)
+      GROUP BY doc_id
+    ),
+    fr AS (
+      SELECT b.doc_id,
+        CASE WHEN b.nc > 0
+             THEN round(l.dup_n::double / len(b.ls), 6) END AS dup_line_frac,
+        CASE WHEN b.nc > 0
+             THEN round(l.dup_ch::double / b.nc, 6) END AS dup_line_char_frac,
+        CASE WHEN b.nc > 0
+             THEN round(p.dup_n::double / len(b.ps), 6) END AS dup_para_frac,
+        CASE WHEN b.nc > 0
+             THEN round(p.dup_ch::double / b.nc, 6) END AS dup_para_char_frac
+      FROM base b JOIN lstat l USING (doc_id) JOIN pstat p USING (doc_id)
+    )
+    SELECT doc_id, dup_line_frac, dup_line_char_frac,
+           dup_para_frac, dup_para_char_frac,
+           (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+            AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20)
+             AS gopher_dup_structure_pass
+    FROM fr ORDER BY doc_id
+"""
+
+
+@_legacy_q("gopher_dup_structure", _DUP_STRUCT_ORACLE)
+def gopher_dup_structure_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINE/PARAGRAPH half of Gopher's repetition filter (Rae et
+    al. 2021, table A1 rows 1-4): within-document duplicate lines and
+    paragraphs, count- and character-fraction variants plus the
+    composed verdict — one zero-shuffle sorted-neighbor projection
+    (textstats.gopher_dup_structure, plan-locked Python-free).  Pages
+    deterministically spiked so both rule families fire non-vacuously:
+    %5 appends a line occurring twice, %9 a paragraph occurring twice
+    (%45 docs get both)."""
+    from go_crawler_spark.functions.textstats import gopher_dup_structure
+
+    d = _read(spark, sf_dir, "documents")
+    spiked = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                "\nrepeat me line\nrepeat me line",
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                "\n\nrepeated para block\n\nrepeated para block",
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return gopher_dup_structure(spiked).orderBy("doc_id")
+
+
 # -- corpus mixing (Pile/LLaMA source weights + epochs) -----------------------
 
 _MIX_WEIGHTS = {

@@ -629,6 +629,94 @@ def repetition_stats_merged(
     )
 
 
+def gopher_dup_structure(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The LINE/PARAGRAPH half of Gopher's repetition filter (Rae et
+    al. 2021, table A1 rows 1-4) — within-document duplicate structure,
+    completing the table alongside :func:`gopher_repetition_full` (the
+    n-gram rows) and :func:`gopher_quality_stats` (the quality half):
+
+    * ``dup_line_frac`` / ``dup_para_frac`` — occurrences of a line
+      (paragraph) identical to one seen earlier in the document, over
+      the element count — published threshold 0.30;
+    * ``dup_line_char_frac`` / ``dup_para_char_frac`` — characters in
+      those repeated occurrences, over total document characters —
+      published threshold 0.20;
+    * ``gopher_dup_structure_pass`` — AND of the four rules.
+
+    Splitting mirrors the reference implementation (DataTrove's
+    GopherRepetitionFilter): lines split on newline RUNS (``\\n+``),
+    paragraphs on blank-line runs (``\\n{2,}``); "duplicate" means an
+    exact repeat, occurrences after the first.  Fractions (and the
+    verdict) are NULL for empty documents (no characters to cover).
+
+    Shape for 100 TB: array_sort + one sorted-neighbor zip per row
+    (an occurrence is a repeat iff it equals its sorted predecessor) —
+    ZERO shuffle, no Python, O(k log k) over a document's k lines.
+    Intermediates are staged as materialized columns (the
+    :func:`repetition_stats_merged` pattern) so no lambda-bearing
+    subtree is re-evaluated, and captured arrays appear only as direct
+    HOF children (the :func:`kgrams_col` expression-safety invariant).
+    """
+    nchars = F.length(F.col(text_col))
+    out = df.select(
+        F.col(id_col),
+        nchars.alias("_nc"),
+        F.array_sort(F.split(F.col(text_col), r"\n+")).alias("_ls"),
+        F.array_sort(F.split(F.col(text_col), r"\n{2,}")).alias("_ps"),
+    )
+
+    def dup_lens(sorted_name: str) -> Column:
+        # length of each repeated occurrence (equal to its sorted
+        # predecessor), NULL otherwise — positionally over elements 2..k
+        s = F.col(sorted_name)
+        m1 = F.greatest(F.size(s) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(s, 2, m1),
+            F.slice(s, 1, m1),
+            lambda a, b: F.when(a == b, F.length(a)),
+        )
+
+    out = (
+        out.withColumn("_ld", dup_lens("_ls"))
+        .withColumn("_pd", dup_lens("_ps"))
+    )
+
+    def frac_cols(dup_name: str, arr_name: str, kind: str) -> list[Column]:
+        d = F.col(dup_name)
+        n_dup = F.size(F.filter(d, lambda x: x.isNotNull()))
+        chars = F.aggregate(
+            d,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.coalesce(x.cast("long"), F.lit(0)),
+        )
+        nonempty = F.col("_nc") > 0
+        return [
+            F.when(
+                nonempty, F.round(n_dup / F.size(F.col(arr_name)), 6)
+            ).alias(f"dup_{kind}_frac"),
+            F.when(nonempty, F.round(chars / F.col("_nc"), 6)).alias(
+                f"dup_{kind}_char_frac"
+            ),
+        ]
+
+    out = out.select(
+        id_col,
+        *frac_cols("_ld", "_ls", "line"),
+        *frac_cols("_pd", "_ps", "para"),
+    )
+    return out.withColumn(
+        "gopher_dup_structure_pass",
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_para_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (F.col("dup_para_char_frac") <= 0.20),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher table-A1 QUALITY rules (the non-repetition half; Rae et al.
 # 2021).  The repetition half is gopher_repetition_full above.

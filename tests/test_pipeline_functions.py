@@ -1047,6 +1047,45 @@ def test_gopher_full_unigram_and_empty_levels(spark):
         gopher_repetition_full(df, top_ns=(0,), dup_ns=())
 
 
+def test_gopher_dup_structure_goldens(spark):
+    """Line/paragraph duplicate-structure rules (Gopher table A1 rows
+    1-4), hand-computed: duplicates are occurrences after the first;
+    lines split on \\n runs, paragraphs on blank-line runs; char
+    fractions over total document characters; NULL for empty docs."""
+    from go_crawler_spark.functions.textstats import gopher_dup_structure
+
+    rows = [
+        (1, "a\nb\na\n\nc"),        # lines [a,b,a,c]: 1 dup of len 1 / 8 chars
+        (2, "xx\nxx\nxx"),          # 2 dup lines of len 2 each / 8 chars
+        (3, ""),                     # empty: all NULL
+        (4, "p q\n\np q\n\nr"),     # 1 dup line AND 1 dup para ("p q") / 11
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = {r.doc_id: r for r in gopher_dup_structure(df).collect()}
+
+    assert g[1].dup_line_frac == 0.25
+    assert g[1].dup_line_char_frac == 0.125
+    assert g[1].dup_para_frac == 0.0 and g[1].dup_para_char_frac == 0.0
+    assert g[1].gopher_dup_structure_pass is True
+
+    assert g[2].dup_line_frac == round(2 / 3, 6)
+    assert g[2].dup_line_char_frac == 0.5
+    assert g[2].gopher_dup_structure_pass is False  # 0.67 > 0.30
+
+    assert all(
+        getattr(g[3], c) is None
+        for c in (
+            "dup_line_frac", "dup_line_char_frac",
+            "dup_para_frac", "dup_para_char_frac",
+            "gopher_dup_structure_pass",
+        )
+    )
+
+    assert g[4].dup_para_frac == round(1 / 3, 6)
+    assert g[4].dup_para_char_frac == round(3 / 11, 6)
+    assert g[4].gopher_dup_structure_pass is False
+
+
 # -- Gopher table-A1 quality rules (non-repetition half) ---------------------
 
 

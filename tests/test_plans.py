@@ -384,3 +384,15 @@ def test_merged_dup_coverage_zero_shuffle_python_free(spark):
     p = plans.formatted_plan(df)
     assert plans.shuffle_count(df) == 0, p[:800]
     assert "Python" not in p and "ArrowEval" not in p, p[:500]
+
+
+def test_gopher_dup_structure_zero_shuffle_python_free(spark):
+    """The line/paragraph half of Gopher's repetition table must be one
+    shuffle-free, Python-free projection like its n-gram siblings."""
+    from go_crawler_spark.functions.textstats import gopher_dup_structure
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = gopher_dup_structure(d)
+    p = plans.formatted_plan(df)
+    assert plans.shuffle_count(df) == 0, p[:800]
+    assert "Python" not in p and "ArrowEval" not in p, p[:500]
