@@ -2535,7 +2535,7 @@ def gopher_dup_structure_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(""),
         ).alias("text"),
     )
-    return gopher_dup_structure(spiked).orderBy("doc_id")
+    return gopher_dup_structure(spiked).drop("text").orderBy("doc_id")
 
 
 # -- corpus mixing (Pile/LLaMA source weights + epochs) -----------------------

@@ -122,6 +122,11 @@ class CorpusConfig:
     # Gopher table-A1 quality verdict (non-repetition half) as an
     # additional heuristic-gate predicate.
     gopher_quality: bool = False
+    # Gopher table-A1 duplicate-line/paragraph rules (rows 1-4) as an
+    # additional heuristic-gate predicate.  NULL verdicts (empty docs)
+    # pass the cut like the other repetition gates (min_tokens owns
+    # dropping them).
+    gopher_dup_structure: bool = False
 
 
 def quality_condition(config: CorpusConfig) -> Column:
@@ -174,6 +179,15 @@ def apply_heuristic_gate(
 
         annotated = gopher_quality_stats(annotated, text_col=text_col)
         gate = gate & F.col("gopher_quality_pass")
+    if config.gopher_dup_structure:
+        from go_crawler_spark.functions.textstats import gopher_dup_structure
+
+        annotated = gopher_dup_structure(
+            annotated, text_col=text_col, id_col=id_col
+        )
+        gate = gate & F.coalesce(
+            F.col("gopher_dup_structure_pass"), F.lit(True)
+        )
     return annotated, annotated.where(gate).select(*df.columns)
 
 

@@ -660,13 +660,16 @@ def gopher_dup_structure(
     :func:`repetition_stats_merged` pattern) so no lambda-bearing
     subtree is re-evaluated, and captured arrays appear only as direct
     HOF children (the :func:`kgrams_col` expression-safety invariant).
+
+    Returns the input columns ANNOTATED with the five new columns
+    (the :func:`gopher_quality_stats` contract), so it slots into the
+    shared heuristic gate (``CorpusConfig.gopher_dup_structure``) and
+    streams (pure projections only).
     """
-    nchars = F.length(F.col(text_col))
-    out = df.select(
-        F.col(id_col),
-        nchars.alias("_nc"),
-        F.array_sort(F.split(F.col(text_col), r"\n+")).alias("_ls"),
-        F.array_sort(F.split(F.col(text_col), r"\n{2,}")).alias("_ps"),
+    out = (
+        df.withColumn("_nc", F.length(F.col(text_col)))
+        .withColumn("_ls", F.array_sort(F.split(F.col(text_col), r"\n+")))
+        .withColumn("_ps", F.array_sort(F.split(F.col(text_col), r"\n{2,}")))
     )
 
     def dup_lens(sorted_name: str) -> Column:
@@ -704,7 +707,7 @@ def gopher_dup_structure(
         ]
 
     out = out.select(
-        id_col,
+        *df.columns,
         *frac_cols("_ld", "_ls", "line"),
         *frac_cols("_pd", "_ps", "para"),
     )

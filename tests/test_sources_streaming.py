@@ -353,6 +353,9 @@ def test_streaming_gate_honors_c4_and_gopher_flags(spark, tmp_path):
             (2, good + "\nPlease enable javascript to proceed."),
             (3, "var x = { 1 };\n" + good),              # C4 page drop
             (4, "data pipeline sort merge join scan " * 9),  # no stop words
+            # duplicate-line structure: one C4-surviving sentence repeated
+            (5, good + ("\nthis exact sentence repeats itself "
+                        "throughout the document." * 1) * 3),
         ],
         "doc_id long, text string",
     )
@@ -360,7 +363,8 @@ def test_streaming_gate_honors_c4_and_gopher_flags(spark, tmp_path):
     docs.repartition(2).write.parquet(src)
 
     cfg = CorpusConfig(min_tokens=5, min_quality=0.0, split_weights=None,
-                       c4_clean=True, gopher_quality=True)
+                       c4_clean=True, gopher_quality=True,
+                       gopher_dup_structure=True)
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
     gated = streaming_quality_gate(stream, cfg)
@@ -376,6 +380,7 @@ def test_streaming_gate_honors_c4_and_gopher_flags(spark, tmp_path):
     assert 1 in got_ids            # clean doc survives
     assert 3 not in got_ids        # C4 page rule (curly brace) drops
     assert 4 not in got_ids        # Gopher stop-word rule drops
+    assert 5 not in got_ids        # dup-line structure rule drops (3/4 lines identical)
     # the javascript line was REWRITTEN away, not the whole page
     t2 = {t for i, t in got if i == 2}
     assert t2 and "javascript" not in next(iter(t2)).lower()
