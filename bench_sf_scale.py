@@ -78,6 +78,7 @@ QUERIES = [
     "bpe_merges",
     "packed_sequences",
     "tfidf_top_terms",
+    "gopher_dup_structure",
 ]
 
 
