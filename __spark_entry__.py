@@ -2605,6 +2605,143 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_BUDGET = 26_000
+_TEMP_ALPHA = 0.3
+
+_TEMP_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, source, len({_TOKS_SQL}) AS ntok FROM documents
+    ),
+    census AS (
+      SELECT source, sum(ntok) AS n_tokens FROM tok GROUP BY source
+    ),
+    z AS (SELECT sum(pow(n_tokens, {_TEMP_ALPHA})) AS z FROM census),
+    rates AS (
+      SELECT c.source,
+             least(pow(c.n_tokens, {_TEMP_ALPHA}) / z.z * {_TEMP_BUDGET}.0
+                   / c.n_tokens, 10.0) AS rate
+      FROM census c, z
+    ),
+    docs AS (
+      SELECT t.doc_id, t.source,
+             CAST(floor(r.rate) AS INT)
+             + CASE WHEN CAST(('0x' || substr(md5(
+                      CAST(t.doc_id AS VARCHAR) || ':m'), 1, 15)) AS BIGINT)
+                    / 1152921504606846976.0 < r.rate - floor(r.rate)
+                    THEN 1 ELSE 0 END AS n
+      FROM tok t JOIN rates r USING (source)
+    )
+    SELECT doc_id, source, CAST(u.e AS INT) AS epoch
+    FROM docs, unnest(generate_series(1, n)) AS u(e)
+    WHERE n > 0
+    ORDER BY doc_id, epoch
+"""
+
+
+@_legacy_q("temperature_mixture", _TEMP_ORACLE)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture (T5/mT5 alpha-scaling, Raffel et al.
+    2020 / Xue et al. 2021, published alpha=0.3): sampling probability
+    p_s ∝ n_s^alpha derived from corpus sizes instead of explicit
+    weights, then the same deterministic epoch materialization as
+    corpus_mixture (mixing.temperature_rates + mix_corpus)."""
+    from go_crawler_spark.functions import mixing
+    from go_crawler_spark.functions.dedup import md5_hash64_col
+
+    d = _read(spark, sf_dir, "documents")
+    census = mixing.source_token_census(d)
+    rates = mixing.temperature_rates(census, _TEMP_BUDGET, alpha=_TEMP_ALPHA)
+    u = md5_hash64_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":m"))
+    ) / F.lit(float(1 << 60))
+    return (
+        mixing.mix_corpus(d, rates, u=u)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+_UNIMAX_BUDGET = 26_000
+_UNIMAX_EPOCHS = 2.0
+
+_UNIMAX_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, source, len({_TOKS_SQL}) AS ntok FROM documents
+    ),
+    census AS (
+      SELECT source, sum(ntok) AS n_tokens FROM tok GROUP BY source
+    ),
+    ord AS (
+      SELECT source, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, source) AS i,
+             count(*) OVER () AS L,
+             {_UNIMAX_EPOCHS} * n_tokens AS cap,
+             sum({_UNIMAX_EPOCHS} * n_tokens)
+               OVER (ORDER BY n_tokens, source) AS cumcap
+      FROM census
+    ),
+    flags AS (
+      SELECT *,
+             (cap <= ({_UNIMAX_BUDGET}.0 - (cumcap - cap)) / (L - i + 1)) AS c
+      FROM ord
+    ),
+    pref AS (SELECT *, bool_and(c) OVER (ORDER BY i) AS allc FROM flags),
+    kk AS (
+      SELECT coalesce(max(CASE WHEN allc THEN i END), 0) AS k,
+             coalesce(max(CASE WHEN allc THEN cumcap END), 0.0) AS cumcap_k
+      FROM pref
+    ),
+    rates AS (
+      SELECT p.source,
+             CASE WHEN p.i <= kk.k THEN {_UNIMAX_EPOCHS}
+                  ELSE (({_UNIMAX_BUDGET}.0 - kk.cumcap_k) / (p.L - kk.k))
+                       / p.n_tokens END AS rate
+      FROM pref p, kk
+    ),
+    docs AS (
+      SELECT t.doc_id, t.source,
+             CAST(floor(r.rate) AS INT)
+             + CASE WHEN CAST(('0x' || substr(md5(
+                      CAST(t.doc_id AS VARCHAR) || ':m'), 1, 15)) AS BIGINT)
+                    / 1152921504606846976.0 < r.rate - floor(r.rate)
+                    THEN 1 ELSE 0 END AS n
+      FROM tok t JOIN rates r USING (source)
+    )
+    SELECT doc_id, source, CAST(u.e AS INT) AS epoch
+    FROM docs, unnest(generate_series(1, n)) AS u(e)
+    WHERE n > 0
+    ORDER BY doc_id, epoch
+"""
+
+
+@_legacy_q("unimax_mixture", _UNIMAX_ORACLE)
+def unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture (Chung et al. 2023): spread the token budget as
+    uniformly as possible across sources subject to a per-source epoch
+    cap — the published waterfill, computed in closed form over the
+    binding prefix of the ascending size order (mixing.unimax_rates;
+    the SQL oracle replays the same prefix rule with window functions,
+    float-identical because the synthetic token counts keep every cap
+    and cumulative sum exactly representable).  Materialized like the
+    other mixtures."""
+    from go_crawler_spark.functions import mixing
+    from go_crawler_spark.functions.dedup import md5_hash64_col
+
+    d = _read(spark, sf_dir, "documents")
+    census = mixing.source_token_census(d)
+    rates = mixing.unimax_rates(
+        census, _UNIMAX_BUDGET, max_epochs=_UNIMAX_EPOCHS
+    )
+    u = md5_hash64_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":m"))
+    ) / F.lit(float(1 << 60))
+    return (
+        mixing.mix_corpus(d, rates, u=u)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
 # -- sequence packing (GPT-style concat-and-chunk) ----------------------------
 
 _PACK_ORACLE = f"""

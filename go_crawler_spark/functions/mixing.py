@@ -34,7 +34,13 @@ import pyspark.sql.functions as F
 from go_crawler_spark.functions.sampling import stage_seed, unit_hash
 from go_crawler_spark.functions.textstats import token_count_col
 
-__all__ = ["source_token_census", "mixture_rates", "mix_corpus"]
+__all__ = [
+    "source_token_census",
+    "mixture_rates",
+    "temperature_rates",
+    "unimax_rates",
+    "mix_corpus",
+]
 
 # The fractional-copy gate is stage-salted (sampling.stage_seed):
 # "u < frac(rate)" on split_col's own stream would skew fractionally
@@ -102,6 +108,109 @@ def mixture_rates(
         )
         for r in rows
         if r[0] in norm and r[1] is not None and r[1] > 0
+    )
+    return census.sparkSession.createDataFrame(
+        rates, f"{source_col} string, rate double"
+    )
+
+
+def _census_rows(
+    census: DataFrame, source_col: str
+) -> list[tuple[str, float]]:
+    """One bounded collect of (source, n_tokens>0) — the census is
+    O(#sources) rows by construction; zero/NULL-token sources are
+    dropped exactly as in :func:`mixture_rates`."""
+    rows = census.select(source_col, "n_tokens").collect()
+    return [(r[0], float(r[1])) for r in rows if r[1] is not None and r[1] > 0]
+
+
+def temperature_rates(
+    census: DataFrame,
+    token_budget: int,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    max_epochs: float = 10.0,
+) -> DataFrame:
+    """Temperature-based mixture rates (T5/mT5, Raffel et al. 2020
+    §3.4.3 / Xue et al. 2021 §3.2): sampling probability
+    ``p_s ∝ n_s^alpha`` — ``alpha=1`` is proportional (no re-balancing),
+    ``alpha→0`` approaches uniform across sources; mT5 publishes
+    ``alpha=0.3``.  ``rate_s = min(p_s * budget / n_s, max_epochs)``,
+    composing with :func:`mix_corpus` exactly like
+    :func:`mixture_rates` (which takes EXPLICIT weights; this derives
+    them from corpus sizes).  The cap means the budget is an upper
+    bound when tiny sources saturate, as in the published recipes.
+
+    Driver-side closed form over the collected census (O(#sources)
+    rows, the :func:`mixture_rates` pattern) — zero extra jobs.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    sized = _census_rows(census, source_col)
+    if not sized:
+        raise ValueError("census has no source with positive n_tokens")
+    z = sum(n ** alpha for _, n in sized)
+    rates = sorted(
+        (s, min(n ** alpha / z * float(token_budget) / n, float(max_epochs)))
+        for s, n in sized
+    )
+    return census.sparkSession.createDataFrame(
+        rates, f"{source_col} string, rate double"
+    )
+
+
+def unimax_rates(
+    census: DataFrame,
+    token_budget: int,
+    max_epochs: float = 2.0,
+    source_col: str = "source",
+) -> DataFrame:
+    """UniMax mixture rates (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute the token budget as UNIFORMLY as possible
+    across sources, subject to a per-source epoch cap — the published
+    greedy waterfill.  Ascending by size, each source gets
+    ``min(cap_s, remaining / sources_left)`` where
+    ``cap_s = max_epochs * n_s``; small sources saturate their cap and
+    the freed budget re-spreads over the rest.  ``rate_s = b_s / n_s``
+    (so every saturated source sits exactly at ``max_epochs``).
+
+    Driver-side over the collected census (O(#sources log #sources)).
+    Computed in CLOSED FORM over the binding prefix: the set of
+    cap-saturated sources is provably a prefix of the ascending size
+    order (caps grow with size while the uniform share grows as capped
+    sources leave the pool), so ``k`` = the longest prefix where
+    ``cap_i <= (B - Σ_{j<i} cap_j) / (L - i + 1)``; prefix sources
+    sit exactly at ``max_epochs`` and the rest share
+    ``(B - Σ_{j<=k} cap_j) / (L - k)`` tokens each — algebraically
+    identical to the paper's sequential greedy (once no cap binds the
+    uniform share is constant), and float-identical to the SQL-window
+    oracle (same operation order).  The differential test checks it
+    against an independent waterfill-by-bisection reference.  Composes
+    with :func:`mix_corpus` like the other rate tables.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    sized = sorted(_census_rows(census, source_col), key=lambda x: (x[1], x[0]))
+    if not sized:
+        raise ValueError("census has no source with positive n_tokens")
+    big_b, n_src = float(token_budget), len(sized)
+    caps = [float(max_epochs) * n for _, n in sized]
+    k, cumcap_k, cum = 0, 0.0, 0.0
+    for i, cap in enumerate(caps, start=1):
+        if cap <= (big_b - cum) / (n_src - i + 1):
+            cum += cap
+            k, cumcap_k = i, cum
+        else:
+            break
+    share = (big_b - cumcap_k) / (n_src - k) if k < n_src else 0.0
+    rates = sorted(
+        (s, float(max_epochs) if i <= k else share / n)
+        for i, (s, n) in enumerate(sized, start=1)
     )
     return census.sparkSession.createDataFrame(
         rates, f"{source_col} string, rate double"

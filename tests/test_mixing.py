@@ -93,3 +93,84 @@ def test_mix_corpus_zero_shuffle_after_broadcast(spark, documents):
     assert "BroadcastExchange" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_temperature_rates_goldens(spark):
+    """mT5 alpha-scaling: p_s ∝ n_s^alpha.  alpha=0.5 over sizes
+    100/400 gives weights 10/20 → p = 1/3, 2/3; alpha=1 is
+    proportional sampling, which means EQUAL rates for every source."""
+    df = spark.createDataFrame(
+        [(1, "a", "w " * 100), (2, "b", "w " * 400)],
+        "doc_id long, source string, text string",
+    )
+    census = mixing.source_token_census(df)
+    r = {x.source: x.rate
+         for x in mixing.temperature_rates(census, 300, alpha=0.5).collect()}
+    assert r["a"] == pytest.approx(1.0)   # (1/3 * 300) / 100
+    assert r["b"] == pytest.approx(0.5)   # (2/3 * 300) / 400
+    r1 = {x.source: x.rate
+          for x in mixing.temperature_rates(census, 250, alpha=1.0).collect()}
+    assert r1["a"] == pytest.approx(r1["b"]) == pytest.approx(0.5)
+    # epoch cap binds
+    rc = {x.source: x.rate
+          for x in mixing.temperature_rates(
+              census, 300, alpha=0.5, max_epochs=0.6).collect()}
+    assert rc["a"] == pytest.approx(0.6)
+    with pytest.raises(ValueError):
+        mixing.temperature_rates(census, 0)
+    with pytest.raises(ValueError):
+        mixing.temperature_rates(census, 10, alpha=0.0)
+
+
+def test_unimax_rates_golden_and_budget(spark):
+    """UniMax waterfill golden (hand-computed): sizes 100/1000/10000,
+    budget 3000, cap 2 epochs → the tiny source saturates its cap
+    (rate exactly 2.0), the freed budget re-spreads uniformly: 200 +
+    1400 + 1400 tokens; the whole budget is spent."""
+    df = spark.createDataFrame(
+        [(1, "a", "w " * 100), (2, "b", "w " * 1000), (3, "c", "w " * 10000)],
+        "doc_id long, source string, text string",
+    )
+    census = mixing.source_token_census(df)
+    r = {x.source: x.rate
+         for x in mixing.unimax_rates(census, 3000, max_epochs=2.0).collect()}
+    assert r["a"] == 2.0                       # saturated: exactly the cap
+    assert r["b"] == pytest.approx(1.4)        # 1400 / 1000
+    assert r["c"] == pytest.approx(0.14)       # 1400 / 10000
+    spent = 100 * r["a"] + 1000 * r["b"] + 10000 * r["c"]
+    assert spent == pytest.approx(3000)
+
+
+def test_unimax_differential_vs_bisection_waterfill(spark):
+    """The closed-form prefix implementation must match an independent
+    reference: waterfill by bisection on the uniform level t with
+    b_s = min(cap_s, t) and sum(b_s) = B (when total caps cover B)."""
+    import random
+
+    rnd = random.Random(7)
+    for trial in range(20):
+        sizes = [rnd.randint(1, 500) * 10 for _ in range(rnd.randint(2, 8))]
+        n_epochs = rnd.choice([1.0, 2.0, 4.0])
+        total_cap = n_epochs * sum(sizes)
+        budget = rnd.randint(1, int(total_cap))
+        rows = [(i, f"s{i}", "w " * s) for i, s in enumerate(sizes)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        census = mixing.source_token_census(df)
+        got = {x.source: x.rate
+               for x in mixing.unimax_rates(
+                   census, budget, max_epochs=n_epochs).collect()}
+        # reference: bisection on the shared level t
+        caps = {f"s{i}": n_epochs * s for i, s in enumerate(sizes)}
+        lo, hi = 0.0, float(budget)
+        for _ in range(200):
+            t = (lo + hi) / 2
+            if sum(min(c, t) for c in caps.values()) < budget:
+                lo = t
+            else:
+                hi = t
+        for i, s in enumerate(sizes):
+            want = min(caps[f"s{i}"], hi) / s
+            assert got[f"s{i}"] == pytest.approx(want, rel=1e-6), (
+                trial, sizes, budget, n_epochs)
