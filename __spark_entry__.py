@@ -845,6 +845,51 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OVERLAP_N = 8
+_OVERLAP_T = 0.7
+
+_OVERLAP_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    cw AS (SELECT doc_id,
+                  array_to_string(tk[i:i+{_OVERLAP_N - 1}], ' ') AS gram
+           FROM t, unnest(generate_series(1, len(tk)-{_OVERLAP_N - 1})) AS u(i)
+           WHERE doc_id % 2 != 0),
+    tot AS (SELECT doc_id, count(*) AS n_windows FROM cw GROUP BY doc_id),
+    bw AS (SELECT DISTINCT
+                  array_to_string(tk[i:i+{_OVERLAP_N - 1}], ' ') AS gram
+           FROM t, unnest(generate_series(1, len(tk)-{_OVERLAP_N - 1})) AS u(i)
+           WHERE doc_id % 2 = 0),
+    h AS (SELECT doc_id, count(*) AS n_hits
+          FROM (SELECT cw.doc_id FROM cw SEMI JOIN bw USING (gram))
+          GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_windows,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0)::double / tot.n_windows, 6)
+             AS overlap_frac,
+           (round(coalesce(h.n_hits, 0)::double / tot.n_windows, 6)
+             >= {_OVERLAP_T}) AS contaminated
+    FROM tot LEFT JOIN h USING (doc_id) ORDER BY tot.doc_id
+"""
+
+
+@_legacy_q("contamination_overlap", _OVERLAP_ORACLE)
+def contamination_overlap_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PaLM-style overlap-fraction decontamination (Chowdhery et al.
+    2022: drop a doc when >=70% of its 8-grams appear in eval data) —
+    dedup.contamination_overlap over the same even=benchmark /
+    odd=corpus split as contamination_spans; per-doc window totals and
+    hit counts are two aggregates over ONE lazily checkpointed window
+    frame, benchmark reduced to distinct hashes."""
+    from go_crawler_spark.functions.dedup import contamination_overlap
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 2 == 0)
+    corpus = d.where(F.col("doc_id") % 2 != 0)
+    return contamination_overlap(
+        corpus, bench, n=_OVERLAP_N, threshold=_OVERLAP_T
+    ).orderBy("doc_id")
+
+
 _SPANS_CUT_ORACLE = f"""
     WITH {_SPANS_CTES},
     sp AS (SELECT doc_id, min(pos) AS s, max(pos)+{_SPANS_N - 1} AS e

@@ -446,6 +446,64 @@ def contaminated_spans(
     return _merge_hit_spans(hits, n, id_col)
 
 
+def contamination_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """PaLM-style overlap-FRACTION decontamination (Chowdhery et al.
+    2022, §"Memorization" / app. dataset-contamination rule): a document
+    is contaminated when at least ``threshold`` of its n-token windows
+    appear anywhere in ``benchmark`` (PaLM publishes 70% of 8-grams).
+    Complements :func:`contaminated_spans` (the GPT-3 13-gram SPAN
+    rule): spans localize a leak for surgical cutting; the fraction
+    grades WHOLE-document leakage, so a doc quoting one benchmark item
+    survives while a near-copy is dropped.  Returns
+    ``(id_col, n_windows, n_hits, overlap_frac, contaminated)`` for
+    every document with at least ``n`` tokens.
+
+    Scale shape: the benchmark side reduces to DISTINCT 128-bit window
+    hashes (tiny next to the corpus); per-doc window totals and hit
+    counts are two groupBy(id) aggregates over the SAME lazily
+    checkpointed window frame (the scan+tokenize+hash stage runs once
+    for both consumers); hot benchmark grams cannot amplify rows — the
+    semi-join emits at most one row per corpus window.
+    """
+    corpus_w = _window_hashes(df, text_col, id_col, n)  # 2 consumers
+    totals = corpus_w.groupBy("id").agg(F.count("*").alias("n_windows"))
+    bench = benchmark.withColumn("__bid", F.lit(0))
+    bench_w = (
+        _window_hashes(
+            bench, bench_text_col or text_col, "__bid", n, checkpoint=False
+        )
+        .select("_h1", "_h2")
+        .distinct()
+    )
+    hits = (
+        corpus_w.join(bench_w, ["_h1", "_h2"], "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        totals.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+        .withColumn(
+            "overlap_frac", F.round(F.col("n_hits") / F.col("n_windows"), 6)
+        )
+        .withColumn(
+            "contaminated", F.col("overlap_frac") >= F.lit(float(threshold))
+        )
+    )
+
+
 def cut_duplicate_spans(
     df: DataFrame,
     spans: DataFrame,

@@ -680,6 +680,38 @@ def test_contaminated_spans_known_case(spark):
     assert cut["c2"] == ("x y z w v u", 0)
 
 
+def test_contamination_overlap_known_case(spark):
+    """PaLM overlap-fraction rule: the fraction of a doc's n-grams seen
+    in the benchmark decides whole-doc contamination — a doc quoting
+    one item stays, a near-copy drops."""
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "a b c d e"),           # near-copy of bench b1
+            ("c2", "a b c x y z w"),       # one leaked 3-gram of 5
+            ("c3", "p q r s t"),           # clean
+            ("c4", "u v"),                 # < n tokens: no windows, absent
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("b1", "zz a b c d e qq")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup.contamination_overlap(
+            corpus, bench, n=3, threshold=0.7
+        ).collect()
+    }
+    # c1 windows: abc bcd cde — all three in bench -> frac 1.0
+    assert (got["c1"].n_windows, got["c1"].n_hits) == (3, 3)
+    assert got["c1"].overlap_frac == 1.0 and got["c1"].contaminated is True
+    # c2 windows: abc bcx cxy xyz yzw — only abc leaks -> 0.2
+    assert (got["c2"].n_windows, got["c2"].n_hits) == (5, 1)
+    assert got["c2"].overlap_frac == 0.2 and got["c2"].contaminated is False
+    assert got["c3"].n_hits == 0 and got["c3"].contaminated is False
+    assert "c4" not in got
+
+
 def test_pii_scrub_known_cases(spark):
     from go_crawler_spark.functions import scrub
 
