@@ -2789,6 +2789,53 @@ def unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- sequence packing (GPT-style concat-and-chunk) ----------------------------
 
+_TAKE_BUDGET = 13_000
+
+_TAKE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':p'),
+                                  1, 15)) AS BIGINT)
+             / 1152921504606846976.0 AS u
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               ORDER BY u, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS "offset"
+      FROM t
+    )
+    SELECT doc_id, n_tokens, "offset"
+    FROM sc WHERE "offset" + n_tokens <= {_TAKE_BUDGET}
+    ORDER BY doc_id
+"""
+
+
+@_legacy_q("take_token_budget", _TAKE_ORACLE)
+def take_token_budget_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-token-budget sizing cut: the largest whole-document prefix
+    of the deterministically shuffled corpus whose token sum stays
+    within the budget (packing.take_token_budget — the final cut every
+    training recipe applies after mixing).  The oracle is the naive
+    global-order window the engine refuses; the engine reuses
+    pack_assignments' two-phase distributed prefix sum.  Cross-engine
+    ordering uniform: md5 60-bit prefix."""
+    from go_crawler_spark.functions import packing
+    from go_crawler_spark.functions.dedup import md5_hash64_col
+
+    d = _read(spark, sf_dir, "documents")
+    u = md5_hash64_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":p"))
+    ) / F.lit(float(1 << 60))
+    return (
+        packing.take_token_budget(d, _TAKE_BUDGET, num_buckets=16, u=u)
+        .select("doc_id", "n_tokens", "offset")
+        .orderBy("doc_id")
+    )
+
+
 _PACK_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,

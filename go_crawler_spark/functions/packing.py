@@ -40,7 +40,7 @@ import pyspark.sql.functions as F
 from go_crawler_spark.functions.sampling import unit_hash
 from go_crawler_spark.functions.textstats import token_count_col, tokens_col
 
-__all__ = ["pack_assignments", "pack_sequences"]
+__all__ = ["pack_assignments", "pack_sequences", "take_token_budget"]
 
 
 def pack_assignments(
@@ -124,6 +124,56 @@ def pack_assignments(
         )
     )
     return out.select(id_col, "n_tokens", "offset", "first_chunk", "last_chunk")
+
+
+def take_token_budget(
+    df: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    seed: int = 42,
+    u=None,
+) -> DataFrame:
+    """Deterministically take the largest prefix of the
+    ``unit_hash``-ordered corpus whose token sum does not exceed
+    ``token_budget`` — "give me exactly ~N tokens of this corpus", the
+    final sizing cut every training recipe applies after mixing.
+    Whole documents only: the straddling document is EXCLUDED, so the
+    taken sum is within one document of the budget and never over.
+
+    Returns the input columns plus ``n_tokens`` and ``offset`` (the
+    document's first token's global position — audit columns that make
+    the cut reproducible and checkable).
+
+    NOT subset-stable (unlike ``sampling.py``): the prefix depends on
+    every other document's size, so adding or removing corpus rows
+    reshuffles membership near the boundary.  That is inherent to an
+    exact-budget cut — use ``sample_fraction`` when subset stability
+    matters more than the budget.
+
+    Scale shape: delegates the global offsets to
+    :func:`pack_assignments`'s two-phase distributed prefix sum
+    (``sep_tokens=0`` — no separator in a sizing cut), then one
+    equi-join on ``id_col`` recovers the kept rows.  The naive
+    ``sum() OVER (ORDER BY u)`` global window it refuses is the oracle.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    asn = pack_assignments(
+        df,
+        seq_len=1,  # chunks unused; 1 keeps the kernel's contract valid
+        text_col=text_col,
+        id_col=id_col,
+        num_buckets=num_buckets,
+        seed=seed,
+        sep_tokens=0,
+        u=u,
+    )
+    kept = asn.where(
+        F.col("offset") + F.col("n_tokens") <= F.lit(int(token_budget))
+    ).select(id_col, "n_tokens", "offset")
+    return df.join(kept, id_col)
 
 
 def pack_sequences(

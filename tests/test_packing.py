@@ -133,3 +133,29 @@ def test_pack_sequences_consistent_with_assignments(spark):
         fc = a.offset // L
         if fc in tok_by_chunk:
             assert tok_by_chunk[fc][a.offset % L].startswith("tok")
+
+
+def test_take_token_budget_prefix_and_bucket_invariance(spark):
+    """The exact-budget cut keeps the LARGEST whole-document prefix of
+    the unit_hash order not exceeding the budget: membership identical
+    at every bucket count (num_buckets=1 IS the sequential scan, so
+    equality with it certifies the distributed prefix sum), total
+    within budget, and the first excluded document would overflow."""
+    df = _docs(spark, ["w " * (i % 7 + 1) for i in range(40)])
+    budget = 60
+    sets = {}
+    for nb in (1, 4, 64):
+        rows = packing.take_token_budget(df, budget, num_buckets=nb).collect()
+        sets[nb] = {(r.doc_id, r.n_tokens, r.offset) for r in rows}
+    assert sets[1] == sets[4] == sets[64] and sets[1]
+    total = sum(n for _, n, _ in sets[1])
+    assert total <= budget
+    # first excluded doc in stream order straddles the budget
+    asn = packing.pack_assignments(df, 1, sep_tokens=0).collect()
+    excluded = sorted(
+        (r for r in asn if (r.doc_id,) not in {(d,) for d, _, _ in sets[1]}),
+        key=lambda r: r.offset,
+    )
+    assert excluded and excluded[0].offset + excluded[0].n_tokens > budget
+    with pytest.raises(ValueError):
+        packing.take_token_budget(df, 0)
