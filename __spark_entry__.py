@@ -1907,6 +1907,79 @@ def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(spiked, hash_fn=md5_hash64_col).orderBy("doc_id")
 
 
+@_legacy_q(
+    "boilerplate_lines",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               substr(text, 1, 80),
+               'Subscribe to our newsletter today!',
+               text,
+               'copyright ' || CAST(doc_id % 5 AS VARCHAR)
+             ) AS text
+      FROM documents
+    ),
+    nd AS (SELECT count(*) AS n FROM docs),
+    split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs
+    ),
+    paras AS (
+      SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, parts[u.i] AS para
+      FROM split, unnest(generate_series(1, len(parts))) AS u(i)
+    ),
+    normed AS (
+      SELECT doc_id, pos, para,
+             regexp_replace(lower(para), '[^\\p{L}]+', '', 'g') AS norm
+      FROM paras
+    ),
+    off AS (
+      SELECT norm FROM normed WHERE length(norm) > 0
+      GROUP BY norm
+      HAVING count(DISTINCT doc_id)
+             >= (SELECT greatest(CAST(floor(n * 0.05) AS BIGINT), 2) FROM nd)
+    ),
+    kept AS (
+      SELECT doc_id, pos, para FROM normed
+      WHERE length(norm) = 0 OR norm NOT IN (SELECT norm FROM off)
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM paras GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(string_agg(k.para, chr(10) ORDER BY k.pos), '')
+             AS text_clean,
+           t.n_lines - count(k.para) AS n_removed,
+           t.n_lines
+    FROM tot t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, t.n_lines ORDER BY t.doc_id
+    """,
+)
+def boilerplate_lines_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-thresholded boilerplate line removal (Dolma/OSCAR line
+    dedup, Soldaini et al. 2024): every occurrence of a line appearing
+    in >= 5% of documents is removed — including the first, which the
+    CCNet keep-first rule (paragraph_dedup_docs) preserves.  Same
+    spiked multi-line pages as that entry: the all-docs newsletter
+    footer and the 5-way copyright lines are corpus-level boilerplate
+    and must survive in ZERO documents; the unique bodies stay.
+    functions/dedup.boilerplate_lines — offender set defined by
+    normalized-line equality, so no hash parity is needed across
+    engines."""
+    from go_crawler_spark.functions.dedup import boilerplate_lines
+
+    d = _read(spark, sf_dir, "documents")
+    spiked = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(F.col("text"), 1, 80),
+            F.lit("Subscribe to our newsletter today!"),
+            F.col("text"),
+            F.concat(F.lit("copyright "), (F.col("doc_id") % 5).cast("string")),
+        ).alias("text"),
+    )
+    return boilerplate_lines(spiked, min_doc_frac=0.05).orderBy("doc_id")
+
+
 # -- SemDeDup: semantic dedup over embedding clusters -----------------------
 
 

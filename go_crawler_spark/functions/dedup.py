@@ -1055,3 +1055,77 @@ def paragraph_dedup(
         F.sum(F.when(F.col("_kept"), 0).otherwise(1)).alias("n_removed"),
         F.count(F.lit(1)).alias("n_paras"),
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    hash_fn=None,
+) -> DataFrame:
+    """Frequency-thresholded boilerplate removal (the Dolma/OSCAR line-
+    dedup rule, Soldaini et al. 2024 — cf. CCNet's keep-first variant,
+    :func:`paragraph_dedup`): a line is boilerplate when it appears in
+    at least ``min_doc_frac`` of all documents (and at least
+    ``min_docs`` absolute), and EVERY occurrence is removed — including
+    the first, which keep-first dedup preserves; nav bars, cookie
+    banners and footers should survive in zero documents.  Empty
+    normalized lines are structure and never dropped.  Returns
+    ``(id_col, text_clean, n_removed, n_lines)`` for every input row.
+
+    Scale shape (shares :func:`paragraph_dedup`'s analysis): the
+    doc-frequency census is groupBy(line-hash).count(DISTINCT doc) with
+    map-side partial aggregation collapsing the hot boilerplate key
+    per-partition; the boilerplate table is one row per OFFENDING hash
+    (tiny — lines above a corpus-wide frequency floor), so the join
+    back is broadcast-friendly and never amplifies; reassembly is the
+    only other shuffle (by id).
+    """
+    if not 0 < min_doc_frac <= 1:
+        raise ValueError(f"min_doc_frac must be in (0, 1], got {min_doc_frac}")
+    h_fn = hash_fn if hash_fn is not None else F.xxhash64
+    n_docs = df.count()  # one scalar: the census denominator
+    floor = max(int(n_docs * min_doc_frac), min_docs)
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    )
+    normed = lines.withColumn(
+        "_norm", F.regexp_replace(F.lower(F.col("_line")), r"[^\p{L}]+", "")
+    ).withColumn("_h", F.when(F.length("_norm") > 0, h_fn(F.col("_norm"))))
+    offenders = (
+        normed.where(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .where(F.col("_df") >= floor)
+        .select("_h")
+    )
+    tagged = normed.join(F.broadcast(offenders), "_h", "left_anti").select(
+        "_id", "_pos", "_line"
+    )
+    n_lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("_n"),
+    )
+    out = tagged.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_kept_n"),
+    )
+    return (
+        n_lines.join(out, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (F.col("_n") - F.coalesce("_kept_n", F.lit(0))).alias("n_removed"),
+            F.col("_n").alias("n_lines"),
+        )
+    )

@@ -1207,3 +1207,31 @@ def test_tfidf_top_terms_known_case(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         textstats.tfidf_top_terms(df, k=0)
+
+
+def test_boilerplate_lines_removes_all_occurrences(spark):
+    """Frequency-thresholded boilerplate (Dolma line dedup): a line in
+    >= min_doc_frac of docs is removed EVERYWHERE — including its first
+    occurrence, which paragraph_dedup's keep-first rule preserves."""
+    footer = "Subscribe To Our Newsletter!"
+    rows = [
+        (1, f"alpha body one\n{footer}"),
+        (2, f"beta body two\n{footer}\n\nextra"),
+        (3, f"gamma body three\n{footer}"),
+        (4, "delta body four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.boilerplate_lines(
+        df, min_doc_frac=0.5, min_docs=2).collect()}
+    assert got[1].text_clean == "alpha body one"
+    assert got[1].n_removed == 1 and got[1].n_lines == 2
+    # empty line (structure) survives; footer removed even mid-doc
+    assert got[2].text_clean == "beta body two\n\nextra"
+    assert got[3].text_clean == "gamma body three"
+    assert got[4].text_clean == "delta body four" and got[4].n_removed == 0
+    # contrast: keep-first retains doc 1's footer occurrence
+    pd = {r.doc_id: r.text_clean for r in dedup.paragraph_dedup(df).collect()}
+    assert footer in pd[1] and footer not in pd[2]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.boilerplate_lines(df, min_doc_frac=0.0)
