@@ -396,3 +396,16 @@ def test_gopher_dup_structure_zero_shuffle_python_free(spark):
     p = plans.formatted_plan(df)
     assert plans.shuffle_count(df) == 0, p[:800]
     assert "Python" not in p and "ArrowEval" not in p, p[:500]
+
+
+def test_boilerplate_lines_broadcast_anti_join(spark):
+    """The offender table (one row per boilerplate line) must reach the
+    corpus side as a broadcast LEFT ANTI join — never a shuffled join
+    on the hot line-hash key, never a cartesian."""
+    from go_crawler_spark.functions.dedup import boilerplate_lines
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = boilerplate_lines(d, min_doc_frac=0.05)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p[:800]
