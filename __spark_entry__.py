@@ -23,6 +23,19 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Fan a few-file scan out to the session's parallelism before a
+    compute-heavy per-row projection (guide §2.5 input skew / §6 input
+    splits): the sf fixtures are single small parquet files, so a scan
+    stage is ONE task and every zero-shuffle operator chained onto it
+    runs single-core regardless of cluster size.  One tiny hash
+    exchange (deterministic key, not round-robin — no
+    sortBeforeRepartition pass, and safe under task retry) buys
+    cluster-wide parallelism for the expensive projection.  On a real
+    many-file table the scan is already wide and entries skip this."""
+    return df.repartition(spark.sparkContext.defaultParallelism, key)
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship — the golden-web crawl, end to end
 # ---------------------------------------------------------------------------
@@ -1110,7 +1123,7 @@ def repetition_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_rep_spike``) so the dup-5-gram path produces non-zero values."""
     from go_crawler_spark.functions.textstats import repetition_stats
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     return repetition_stats(_rep_spike(d)).orderBy("doc_id")
 
 
@@ -1174,7 +1187,10 @@ def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         prepare_training_corpus,
     )
 
-    d = _read(spark, sf_dir, "documents")
+    # spread BEFORE the gate: the repetition/quality stats are the
+    # funnel's most expensive per-row projection and would otherwise run
+    # in the single scan task of the one-file sf fixture (see _spread)
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     cfg = CorpusConfig(
         min_tokens=10,
         min_quality=0.0,
@@ -1182,9 +1198,11 @@ def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_shingle_k=3,
         minhash_bands=32,
         split_weights=None,
-        # no persist here: repeated driver/bench invocations would leak
-        # one cached frame per call (nothing ever unpersists it)
-        persist_intermediate=False,
+        # truncate the exact-dedup stage (lazy localCheckpoint inside
+        # the funnel): its consumers re-derive the whole gate chain up
+        # to 4x otherwise; checkpoint blocks are ContextCleaner-reclaimed
+        # so repeated bench/correctness invocations cannot leak
+        persist_intermediate=True,
         # the sf fixture is a single parquet file; without spreading,
         # every signature computes in one task
         spread_partitions=spark.sparkContext.defaultParallelism,
@@ -1719,7 +1737,7 @@ def repetition_merged_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     path)."""
     from go_crawler_spark.functions.textstats import repetition_stats_merged
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     return repetition_stats_merged(_rep_spike(d)).orderBy("doc_id")
 
 
@@ -1781,7 +1799,7 @@ def gopher_repetition_full_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dup path computes real values."""
     from go_crawler_spark.functions.textstats import gopher_repetition_full
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     return gopher_repetition_full(_rep_spike(d)).orderBy("doc_id")
 
 
@@ -2203,10 +2221,13 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_crawler_spark.functions import dsir
     from go_crawler_spark.functions.dedup import md5_hash64_col
 
-    d = _read(spark, sf_dir, "documents")
+    # spread the one-file scan (see _spread) and truncate `feats`: the
+    # md5 featurize explode is consumed twice (raw-dist fit + the weight
+    # join) and would otherwise run twice in a single scan task
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     feats = dsir.hashed_ngram_features(
         d, num_buckets=1024, hash_fn=md5_hash64_col
-    )
+    ).localCheckpoint(eager=False)
     target = dsir.hashed_ngram_features(
         d.where(F.col("lang") == "en"), num_buckets=1024,
         hash_fn=md5_hash64_col,

@@ -133,10 +133,25 @@ def train_bpe(
     num_merges: int = 32,
     text_col: str = "text",
     from_word_counts: bool = False,
+    driver_vocab_threshold: int = 500_000,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges.  Accepts raw documents (one
     corpus pass) or a precomputed ``word_counts`` table.  Ties break
-    deterministically: highest count, then (left, right) ascending."""
+    deterministically: highest count, then (left, right) ascending.
+
+    Hybrid execution (r6, guide §1.2 — fix the algorithm before the
+    constants): the one corpus-scale pass (``word_counts``) is always
+    distributed, but the k argmax rounds run over the word-frequency
+    table, whose size is the VOCABULARY, not the corpus.  When that
+    table has at most ``driver_vocab_threshold`` rows it is collected
+    once (bounded: 500k rows ≈ a few tens of MB) and the rounds run in
+    the driver with incrementally-maintained pair counts —
+    O(total symbols) once plus O(touched words) per merge — instead of
+    k Spark jobs whose per-round scheduling floor dominates at any
+    vocabulary size.  Larger vocabularies keep the distributed
+    per-round path unchanged.  Both paths are bit-identical (ties and
+    early-stop pinned by tests/test_bpe.py's differential tests).
+    ``driver_vocab_threshold=0`` forces the distributed path."""
     if num_merges <= 0:
         raise ValueError(f"num_merges must be > 0, got {num_merges}")
     wc = (
@@ -144,6 +159,14 @@ def train_bpe(
         if from_word_counts
         else word_counts(df_or_word_counts, text_col)
     )
+    if driver_vocab_threshold:
+        # limit+collect bounds driver memory: at most threshold+1 rows
+        # come back, and the overflow row routes to the distributed path.
+        head = wc.select("word", "cnt").limit(driver_vocab_threshold + 1).collect()
+        if len(head) <= driver_vocab_threshold:
+            return _train_bpe_driver(
+                {r["word"]: r["cnt"] for r in head}, num_merges
+            )
     vocab = _initial_symbols(wc).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -160,6 +183,67 @@ def train_bpe(
         vocab = vocab.select(
             _fuse_col(F.col("syms"), left, right).alias("syms"), "cnt"
         ).localCheckpoint(eager=False)
+    return merges
+
+
+def _train_bpe_driver(
+    counts: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side trainer with INCREMENTAL pair counts — the classic
+    fast BPE formulation (Sennrich et al. 2016 §3): build the
+    pair-count table once from every word's symbol chain, then per
+    merge rewrite only the words that contain the merged pair
+    (tracked by a pair -> word-index occurrence map), subtracting
+    their old pair contributions and adding the new ones.  The
+    pair-count dict therefore always equals what a full recount would
+    produce (minus keys whose count reached 0), so the argmax, the
+    tie-break (count desc, pair asc) and the early-stop (best < 2)
+    are exactly :func:`train_bpe_reference`'s — pinned by the
+    differential test.  O(total symbols) setup, O(touched words) per
+    merge, argmax over the (alphabet-bounded, small) distinct-pair
+    dict."""
+    vocab: list[list] = [
+        [list(w) + [END_MARK], c] for w, c in counts.items()
+    ]
+    pc: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, c) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            pc[p] = pc.get(p, 0) + c
+            occ.setdefault(p, set()).add(idx)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        l, r = best[0]
+        merges.append((l, r))
+        # occurrence sets may carry stale indices (word rewritten since);
+        # subtract-then-re-add is an exact no-op for those, so staleness
+        # is harmless — correctness never depends on eager cleanup.
+        for idx in sorted(occ.get((l, r), ())):
+            syms, c = vocab[idx]
+            for p in zip(syms, syms[1:]):
+                left = pc[p] - c
+                if left:
+                    pc[p] = left
+                else:
+                    del pc[p]
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[idx][0] = out
+            for p in zip(out, out[1:]):
+                pc[p] = pc.get(p, 0) + c
+                occ.setdefault(p, set()).add(idx)
     return merges
 
 

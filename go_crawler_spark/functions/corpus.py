@@ -72,11 +72,15 @@ class CorpusConfig:
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
     )
     seed: int = 42
-    # Persist the exact-deduped frame: the near-dup pair join and the
-    # survivor anti-join each re-derive it, so without a persist the
-    # quality/repetition filter chain is recomputed up to 3x per action.
-    # Off by default — at 100 TB write the stage to a table instead; the
-    # caller owns unpersist().
+    # Truncate the exact-deduped frame (lazy localCheckpoint): the
+    # exact-dedup semi-join, the near-dup pair join and the survivor
+    # anti-join each re-derive their input, so without truncation the
+    # quality/repetition filter chain is recomputed up to 4x per action.
+    # Unlike persist(), localCheckpoint blocks are reclaimed by the
+    # ContextCleaner when the frame goes out of scope, so repeated
+    # invocations (bench/correctness harnesses) cannot leak pinned
+    # cache entries.  Off by default — at 100 TB write the stage to a
+    # table instead of materializing it in the block managers.
     persist_intermediate: bool = False
     # Repartition width for the minhash signature stage.  None (default)
     # trusts the input layout, honoring minhash_near_dups' contract that
@@ -246,8 +250,8 @@ def prepare_training_corpus(
         # the classifier consumes `filtered` three times (negatives,
         # scoring target, semi-join) and exact_dedup re-derives it —
         # same recompute hazard persist_intermediate already covers for
-        # the exact stage; caller owns unpersist()
-        filtered = filtered.persist()
+        # the exact stage (lazy checkpoint: see CorpusConfig)
+        filtered = filtered.localCheckpoint(eager=False)
 
     classifier_stage: DataFrame | None = None
     if config.classifier_pareto_shape is not None:
@@ -279,7 +283,7 @@ def prepare_training_corpus(
     pool = classifier_stage if classifier_stage is not None else filtered
     exact = exact_dedup(pool, text_col, id_col)
     if config.persist_intermediate:
-        exact = exact.persist()
+        exact = exact.localCheckpoint(eager=False)
     pairs = minhash_near_dups(
         exact,
         text_col=text_col,

@@ -618,10 +618,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nl").alias("nbr_label"))
         )
+        # carry the pre-round label through the hop + jump so the
+        # convergence test below is a scan of the round's checkpointed
+        # blocks, not a third shuffle-join per round (r6: was new⋈old)
         cand = labels.join(
             nbr_min.withColumnRenamed("src", "id"), "id", "left"
         ).select(
             "id",
+            F.col("label").alias("_old"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
@@ -636,19 +640,15 @@ def connected_components(
             cand.join(parent, "label", "left")
             .select(
                 "id",
+                "_old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             converged = True
             break

@@ -74,6 +74,21 @@ def pagerank(
     if n == 0:
         return PageRankResult(v.select("id", F.lit(0.0).alias("score")), 0, 0.0)
 
+    # Scale-adaptive superstep partitioning (guide §2.2/§2.5): the loop
+    # below pays its per-round exchange/task floor `max_supersteps`
+    # times, so partition count derives from the MEASURED vertex count
+    # (~25k rows per partition) instead of the session constant — a
+    # small graph iterates on a handful of tasks, a 10^9-vertex graph
+    # still saturates the cluster (capped at the session's shuffle
+    # partitions, the same value used before).  Values are unchanged:
+    # per-key aggregation is identical under any hash partitioning.
+    loop_parts = max(1, min(shuffle_parts, -(-n // 25_000)))
+    if loop_parts != shuffle_parts:
+        base2 = base.repartition(loop_parts, "id").persist()
+        base2.count()
+        base.unpersist()
+        base = base2
+
     # superstep 1: evenly distribute; residual from dead-ends of this step.
     init_ranks = base.select("id", "outdeg", F.lit(1.0 / n).alias("score")).persist()
     ranks = init_ranks
@@ -81,7 +96,7 @@ def pagerank(
         F.sum(F.col("score") / F.lit(n)).alias("r")
     ).collect()[0]["r"]
     residual_prev = float(dead_sum or 0.0)
-    e = e.repartition(shuffle_parts, "src").persist()
+    e = e.repartition(loop_parts, "src").persist()
     e.count()
 
     superstep = 1
