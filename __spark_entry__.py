@@ -23,17 +23,34 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(spark: SparkSession, df: DataFrame, key: str = "doc_id") -> DataFrame:
+def _spread(
+    spark: SparkSession, df: DataFrame, key: str = "doc_id", how: str = "range"
+) -> DataFrame:
     """Fan a few-file scan out to the session's parallelism before a
     compute-heavy per-row projection (guide §2.5 input skew / §6 input
     splits): the sf fixtures are single small parquet files, so a scan
     stage is ONE task and every zero-shuffle operator chained onto it
-    runs single-core regardless of cluster size.  One tiny hash
-    exchange (deterministic key, not round-robin — no
-    sortBeforeRepartition pass, and safe under task retry) buys
-    cluster-wide parallelism for the expensive projection.  On a real
-    many-file table the scan is already wide and entries skip this."""
-    return df.repartition(spark.sparkContext.defaultParallelism, key)
+    runs single-core regardless of cluster size.  One tiny exchange
+    (deterministic key, not round-robin — no sortBeforeRepartition
+    pass, and safe under task retry) buys cluster-wide parallelism for
+    the expensive projection.  RANGE partitioning on the key, not hash:
+    most entries end in ``orderBy(key)``, and a global Sort whose child
+    is already RangePartitioning(key) needs no second exchange AND no
+    range-bound sampling pass over the heavy projection — under a hash
+    spread the sort's sampling job re-executed the whole projection a
+    second time (measured 3.4s -> 0.66s on gopher_repetition_full at
+    sf0.1).  The sampling that does happen runs over the cheap scan.
+    On a real many-file table the scan is already wide and entries
+    skip this.
+
+    ``how="hash"`` is for entries whose heavy work feeds further
+    SHUFFLES (funnels, groupBys) before the final sort: there the range
+    partitioning is destroyed anyway, so its sampling job is pure
+    overhead and a plain hash exchange spreads cheaper."""
+    n = spark.sparkContext.defaultParallelism
+    if how == "hash":
+        return df.repartition(n, key)
+    return df.repartitionByRange(n, key)
 
 
 # ---------------------------------------------------------------------------
@@ -812,7 +829,7 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     at this sf."""
     from go_crawler_spark.functions.dedup import duplicate_ngram_spans
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"), how="hash")
     return duplicate_ngram_spans(d, n=_SPANS_N).orderBy("doc_id", "span_start")
 
 
@@ -850,7 +867,7 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranges cut_duplicate_spans would remove before training."""
     from go_crawler_spark.functions.dedup import contaminated_spans
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"), how="hash")
     bench = d.where(F.col("doc_id") % 2 == 0)
     corpus = d.where(F.col("doc_id") % 2 != 0)
     return contaminated_spans(corpus, bench, n=_CONTAM_N).orderBy(
@@ -1047,7 +1064,7 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + language ID (pure Column exprs, single-pass)."""
     from go_crawler_spark.functions.textstats import with_text_stats
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     return with_text_stats(d).select(
         "doc_id",
         "n_tokens",
@@ -1190,7 +1207,7 @@ def corpus_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread BEFORE the gate: the repetition/quality stats are the
     # funnel's most expensive per-row projection and would otherwise run
     # in the single scan task of the one-file sf fixture (see _spread)
-    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    d = _spread(spark, _read(spark, sf_dir, "documents"), how="hash")
     cfg = CorpusConfig(
         min_tokens=10,
         min_quality=0.0,
@@ -1255,7 +1272,7 @@ def pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     patterns restrict to syntax with identical Java/RE2 semantics."""
     from go_crawler_spark.functions.scrub import scrub_documents
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     spiked = d.select(
         "doc_id",
         F.concat(
@@ -1843,7 +1860,7 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy counts, score is two equi-joins + one per-doc mean."""
     from go_crawler_spark.functions import lm
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"), how="hash")
     model = lm.train_bigram_lm(d)
     return (
         lm.score_perplexity(d, model, alpha=0.1)
@@ -1911,7 +1928,7 @@ def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-prefix hash (production default xxhash64, same algorithm)."""
     from go_crawler_spark.functions.dedup import md5_hash64_col, paragraph_dedup
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     spiked = d.select(
         "doc_id",
         F.concat_ws(
@@ -2224,7 +2241,7 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the one-file scan (see _spread) and truncate `feats`: the
     # md5 featurize explode is consumed twice (raw-dist fit + the weight
     # join) and would otherwise run twice in a single scan task
-    d = _spread(spark, _read(spark, sf_dir, "documents"))
+    d = _spread(spark, _read(spark, sf_dir, "documents"), how="hash")
     feats = dsir.hashed_ngram_features(
         d, num_buckets=1024, hash_fn=md5_hash64_col
     ).localCheckpoint(eager=False)
@@ -2565,7 +2582,7 @@ def gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum splits the natural length distribution."""
     from go_crawler_spark.functions.textstats import gopher_quality_stats
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"))
     spiked = d.select(
         "doc_id",
         F.concat(
@@ -3066,7 +3083,7 @@ def incremental_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same argument as dedup_minhash_pairs)."""
     from go_crawler_spark.functions import incremental
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"), how="hash")
     accepted = d.where(F.col("doc_id") % 2 == 0)
     new_batch = d.where(F.col("doc_id") % 2 == 1)
     idx = incremental.minhash_index(
@@ -3170,7 +3187,7 @@ def tfidf_top_terms_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k partial pushes map-side (WindowGroupLimit)."""
     from go_crawler_spark.functions.textstats import tfidf_top_terms
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"), how="hash")
     return (
         tfidf_top_terms(d, k=5)
         .select("doc_id", "term", "tf", F.round("score", 6).alias("score"),

@@ -645,7 +645,10 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("_pl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY: the changed-count below is the materializing action,
+            # so each round runs ONE job (hop+jump+count) instead of an
+            # eager-checkpoint job followed by a count job (r6)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where(F.col("label") != F.col("_old")).count()
         labels = new_labels.select("id", "label")

@@ -99,17 +99,28 @@ def pagerank(
     e = e.repartition(loop_parts, "src").persist()
     e.count()
 
+    # Adaptive join strategy for the superstep loop (guide §3.1): the
+    # ranks/msgs sides are (id, outdeg, score) rows — n of them — so up
+    # to ~10^6 vertices they broadcast comfortably (tens of MB, far
+    # under the 8 GB relation cap) and each superstep's two joins run
+    # exchange-free: only the groupBy(dst) exchange remains per round
+    # (measured 5.0-6.4s -> 3.7s at sf0.1).  Bigger graphs keep the
+    # co-partitioned shuffle joins unchanged — broadcasting the ranks of
+    # a 10^9-vertex graph would OOM the driver, which is why this keys
+    # on the measured n, not a config.
+    bcast = (lambda df: F.broadcast(df)) if n <= 1_000_000 else (lambda df: df)
+
     superstep = 1
     sad = 1.0  # Σ|0 - 1/n| from the init step (never evaluated)
     while superstep < max_supersteps:
         superstep += 1
         msgs = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            e.join(bcast(ranks.withColumnRenamed("id", "src")), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("score") / F.col("outdeg")).alias("in_sum"))
         )
         new_ranks = (
-            ranks.join(msgs, "id", "left")
+            ranks.join(bcast(msgs), "id", "left")
             .select(
                 "id",
                 "outdeg",
