@@ -192,7 +192,24 @@ def apply_heuristic_gate(
         gate = gate & F.coalesce(
             F.col("gopher_dup_structure_pass"), F.lit(True)
         )
-    return annotated, annotated.where(gate).select(*df.columns)
+    # Pushdown barrier (r6, guide §2.1 order-of-operations): the gate
+    # references the annotated stats columns, and predicate pushdown
+    # would substitute their DEFINITIONS into the filter and sink it to
+    # the scan — re-evaluating the tokenizer split once per reference
+    # (lambda-bearing expressions are excluded from Catalyst's
+    # subexpression elimination, the kgrams_col hazard) and, worse,
+    # BELOW any spreading exchange, so the whole inlined gate ran in
+    # the one scan task of a single-file input (measured 5.7s -> ~1s at
+    # sf0.1).  Wrapping the gate in a CASE WHEN on a constant-true
+    # NON-DETERMINISTIC guard makes the predicate one non-splittable,
+    # non-pushable conjunct: the Filter stays above the stats
+    # projections and reads attributes, so every stat (and the split)
+    # evaluates exactly once per row at full parallelism.  A bare
+    # `gate & guard` does NOT work — Catalyst splits conjunctions and
+    # pushes the deterministic half anyway.  Semantics are unchanged:
+    # spark_partition_id() >= 0 is always true.
+    guarded = F.when(F.spark_partition_id() >= 0, gate)
+    return annotated, annotated.where(guarded).select(*df.columns)
 
 
 def prepare_training_corpus(

@@ -606,13 +606,27 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    # Adaptive join strategy (guide §3.1, the PageRank device): the
+    # label/neighbor-min/parent frames are ids-only — two longs per row,
+    # bounded by 2x the edge count — so when the MEASURED edge count is
+    # small they broadcast comfortably and each round's three joins run
+    # exchange-free (the per-round exchange floor dominates on near-dup
+    # graphs, which are tiny relative to the corpus).  Large pair
+    # graphs keep the shuffle joins — broadcasting billions of labels
+    # would OOM the driver.  The count materializes the lazy edges
+    # checkpoint, which round 1 would have paid anyway.
+    bcast = (
+        (lambda df: F.broadcast(df))
+        if edges.count() <= 2_000_000
+        else (lambda df: df)
+    )
     converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
-                labels.select(
+                bcast(labels.select(
                     F.col("id").alias("dst"), F.col("label").alias("nl")
-                ),
+                )),
                 "dst",
             )
             .groupBy("src")
@@ -622,7 +636,7 @@ def connected_components(
         # convergence test below is a scan of the round's checkpointed
         # blocks, not a third shuffle-join per round (r6: was new⋈old)
         cand = labels.join(
-            nbr_min.withColumnRenamed("src", "id"), "id", "left"
+            bcast(nbr_min.withColumnRenamed("src", "id")), "id", "left"
         ).select(
             "id",
             F.col("label").alias("_old"),
@@ -637,7 +651,7 @@ def connected_components(
             F.col("id").alias("label"), F.col("label").alias("_pl")
         )
         new_labels = (
-            cand.join(parent, "label", "left")
+            cand.join(bcast(parent), "label", "left")
             .select(
                 "id",
                 "_old",

@@ -47,19 +47,101 @@ class PageRankResult:
     final_sad: float
 
 
+def _pagerank_driver(
+    spark, id_type, ids, epairs,
+    damping: float, min_sad: float, max_supersteps: int,
+) -> PageRankResult:
+    """Driver-side superstep loop over numpy arrays — semantics mirror
+    the distributed path EXACTLY (see :func:`pagerank`): out-degree
+    counts every edge whose src is a known vertex (any dst); messages
+    accumulate only into known dst vertices; dead-end scores feed the
+    next superstep's residual; SAD evaluated for supersteps > 1.
+    float64 accumulation — agreement with the distributed path's
+    partial-aggregation sums is far inside the 6-decimal rounding every
+    consumer applies (differential-tested)."""
+    import numpy as np
+    import pyspark.sql.types as T
+
+    n = len(ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    # edges with unknown src carry no score (inner join in the
+    # distributed path); known-src edges count toward outdeg whatever
+    # their dst, but deliver a message only when dst is known too.
+    src = np.fromiter(
+        (idx[s] for s, _ in epairs if s in idx), dtype=np.int64
+    )
+    dst_pairs = [
+        (idx[s], idx[d]) for s, d in epairs if s in idx and d in idx
+    ]
+    msg_src = np.fromiter((s for s, _ in dst_pairs), dtype=np.int64)
+    msg_dst = np.fromiter((d for _, d in dst_pairs), dtype=np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    dead = outdeg == 0
+
+    score = np.full(n, 1.0 / n)
+    residual = float(score[dead].sum() / n)
+    superstep, sad = 1, 1.0
+    while superstep < max_supersteps:
+        superstep += 1
+        contrib = score[msg_src] / outdeg[msg_src]
+        in_sum = np.bincount(msg_dst, weights=contrib, minlength=n)
+        new = (1.0 - damping) / n + damping * in_sum + damping * residual
+        sad = float(np.abs(score - new).sum())
+        residual = float(new[dead].sum() / n)
+        score = new
+        if sad < min_sad:
+            break
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("score", T.DoubleType())]
+    )
+    out = spark.createDataFrame(
+        [(v, float(s)) for v, s in zip(ids, score)], schema
+    )
+    return PageRankResult(out, superstep, sad)
+
+
 def pagerank(
     vertices: DataFrame,
     edges: DataFrame,
     damping: float = 0.85,
     min_sad: float = 0.001,
     max_supersteps: int = 200,
+    driver_edge_threshold: int = 500_000,
 ) -> PageRankResult:
-    """vertices: (id), edges: (src, dst). Returns scores summing to ~1."""
+    """vertices: (id), edges: (src, dst). Returns scores summing to ~1.
+
+    Hybrid execution (r6, the BPE-trainer device — guide §1.2): the
+    superstep loop costs one Spark job per round no matter how small the
+    graph is, so when BOTH the edge and vertex counts are at most
+    ``driver_edge_threshold`` rows (bounded collect: two longs/strings
+    per row, tens of MB at the cap) the k rounds run in the driver over
+    numpy arrays — the identical BSP semantics (per-edge messages,
+    dead-end residual consumed next superstep, SAD stop for
+    supersteps > 1), pinned bit-for-bit-after-rounding by the
+    differential test against the distributed path.  Larger graphs run
+    the aggregate-messages loop below unchanged.
+    ``driver_edge_threshold=0`` forces the distributed path."""
     spark = vertices.sparkSession
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     v = vertices.select("id").dropDuplicates(["id"])
     e = edges.select("src", "dst")
+
+    if driver_edge_threshold:
+        # bounded Arrow transfers (limit caps rows; toPandas is the
+        # arrow-enabled driver path, far cheaper than row collect)
+        ehead = e.limit(driver_edge_threshold + 1).toPandas()
+        if len(ehead) <= driver_edge_threshold:
+            vhead = v.limit(driver_edge_threshold + 1).toPandas()
+            # empty vertex set falls through: the distributed path owns
+            # the n == 0 contract (returns v's own empty frame)
+            if 0 < len(vhead) <= driver_edge_threshold:
+                return _pagerank_driver(
+                    spark, v.schema[0].dataType,
+                    vhead["id"].tolist(),
+                    list(zip(ehead["src"].tolist(), ehead["dst"].tolist())),
+                    damping, min_sad, max_supersteps,
+                )
 
     # out-degree once (dead-end = outdeg 0); repartition by id so every
     # iteration's join reuses this partitioning.

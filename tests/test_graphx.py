@@ -72,6 +72,37 @@ def test_pagerank_convergence_seeded_graph(spark):
     assert res.supersteps < 200
 
 
+def test_pagerank_driver_matches_distributed(spark):
+    """The r6 bounded driver fast path (numpy supersteps) must agree
+    with the distributed aggregate-messages loop to well inside the
+    6-decimal rounding every consumer applies — including dead ends,
+    duplicate edges, unknown-endpoint edges and a fixed round count."""
+    from go_crawler_spark.fixtures import _mix
+
+    n = 300
+    edges = []
+    for i in range(n):
+        for j in range(_mix(i, 100) % 5):
+            edges.append((str(i), str(_mix(i, 101, j) % n)))
+    edges += [("0", "1"), ("0", "1")]          # duplicate edges
+    edges += [("7", "ghost"), ("ghost", "7")]  # unknown endpoints
+    v = spark.createDataFrame([(str(i),) for i in range(n)], "id string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    for kwargs in ({"min_sad": 0.0, "max_supersteps": 12}, {}):
+        drv = pagerank(v, e, **kwargs)
+        dist = pagerank(v, e, driver_edge_threshold=0, **kwargs)
+        assert drv.supersteps == dist.supersteps
+        a = {r.id: round(r.score, 6) for r in drv.scores.collect()}
+        b = {r.id: round(r.score, 6) for r in dist.scores.collect()}
+        assert a == b
+        # same column names and types (nullability flags may differ:
+        # createDataFrame defaults nullable, literal arithmetic does not)
+        assert [(f.name, f.dataType) for f in drv.scores.schema] == [
+            (f.name, f.dataType)
+            for f in dist.scores.select("id", "score").schema
+        ]
+
+
 COST_MAT = [
     [0, 4, 0, 0, 0, 0, 0, 8, 0],
     [4, 0, 8, 0, 0, 0, 0, 11, 0],
