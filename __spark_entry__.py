@@ -2066,7 +2066,9 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle expresses the identical closed-form rule in SQL."""
     from go_crawler_spark.functions.semdedup import semantic_dedup
 
-    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _spread(
+        spark, _read(spark, sf_dir, "embeddings"), key="vec_id", how="hash"
+    ).select("vec_id", "embedding")
     out = semantic_dedup(e, num_centroids=8, cosine_threshold=0.4)
     return out.select("vec_id", "cluster_id", "cos_c").orderBy("vec_id")
 
@@ -3235,7 +3237,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified."""
     from go_crawler_spark.functions import bpe
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"), how="hash")
     wc = bpe.word_counts(d)
     vocab = bpe._initial_symbols(wc)
     return (
@@ -3263,7 +3265,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break (count desc, pair asc)."""
     from go_crawler_spark.functions import bpe
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"), how="hash")
     merges = bpe.train_bpe(d, num_merges=24)
     return spark.createDataFrame(
         [(i, l, r) for i, (l, r) in enumerate(merges)],

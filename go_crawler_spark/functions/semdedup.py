@@ -213,6 +213,17 @@ def semantic_dedup_assigned(
     farthest-from-centroid member of each near-dup group survives.
     """
     base = assigned.localCheckpoint(eager=False)  # 3 consumers below
+    # Adaptive pairwise join strategy (r6, guide §3.1): the within-
+    # cluster pair predicate equi-joins on cluster_id, whose cardinality
+    # is the CENTROID count — a shuffle join therefore runs on at most C
+    # active tasks however large the cluster is.  When the measured
+    # assigned-row count is small the slim b-side (ids + unit vectors)
+    # broadcasts and the quadratic stage becomes a broadcast hash join
+    # with the order/cosine predicate as residual: no exchange, and the
+    # a-side keeps its input parallelism instead of collapsing to C
+    # partitions.  The count scans the checkpoint blocks the three
+    # consumers materialize anyway; big corpora keep the shuffle join.
+    n_assigned = base.count()
     # Pre-normalize ONCE per row: the pairwise stage then pays a plain
     # dot product instead of dot + two norms — a 3x flop cut on the
     # quadratic (within-cluster) stage.  cos(a,b) == dot(a/|a|, b/|b|)
@@ -255,8 +266,9 @@ def semantic_dedup_assigned(
         )
         >= cosine_threshold
     )
+    b_side = F.broadcast(b) if n_assigned <= 200_000 else b
     dropped = a.join(
-        b,
+        b_side,
         (F.col("a.cluster_id") == F.col("b.cluster_id")) & earlier & near,
         "leftsemi",
     ).select(F.col(f"a.{id_col}").alias(id_col))
