@@ -126,6 +126,26 @@ def minhash_from_hashes(hashed_shingles: Column, num_hashes: int = 64) -> Column
     )
 
 
+def _minhash_sql(hashes_name: str, num_hashes: int) -> str:
+    """SQL text of :func:`minhash_from_hashes` over the column named
+    ``hashes_name`` — the identical expression tree (same salts, init
+    and empty-input shape; differential-tested), built in one parse
+    instead of the Column API's per-lambda py4j round-trips (the
+    textstats._rep_aggs_sql device; signature construction is on the
+    build path of four driver-green queries)."""
+    sig = f"""aggregate(
+      {hashes_name},
+      array_repeat(CAST({2**63 - 1} AS BIGINT), {num_hashes}),
+      (acc, h) -> zip_with(
+        acc,
+        transform(sequence(0, {num_hashes - 1}), i -> xxhash64(h, i)),
+        (a, b) -> least(a, b)))"""
+    return (
+        f"CASE WHEN size({hashes_name}) > 0 THEN {sig} "
+        f"ELSE array_repeat(CAST(NULL AS BIGINT), {num_hashes}) END"
+    )
+
+
 def lsh_bands(
     df: DataFrame,
     sig_col: str = "minhash_sig",
@@ -220,7 +240,12 @@ def minhash_prepared(
                 shingles_col(text_col, shingle_k), lambda s: F.xxhash64(s)
             ).alias("_sh"),
         )
-        .withColumn("minhash_sig", minhash_from_hashes(F.col("_sh"), num_hashes))
+        .withColumn(
+            # SQL-parsed constructor (== minhash_from_hashes, see
+            # _minhash_sql): cheaper query build, identical tree
+            "minhash_sig",
+            F.expr(_minhash_sql("_sh", num_hashes)).alias("minhash_sig"),
+        )
         .localCheckpoint(eager=False)
     )
 

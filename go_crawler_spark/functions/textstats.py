@@ -257,6 +257,52 @@ def _repetition_aggs(sorted_grams: Column) -> Column:
     )
 
 
+def _rep_aggs_sql(sorted_arr_sql: str) -> str:
+    """SQL text of :func:`_repetition_aggs` over ``sorted_arr_sql``.
+
+    Generates the IDENTICAL Catalyst expression tree (same struct
+    fields, same CASE/greatest/cast shapes — cross-checked against the
+    Column formulation's explain output and the DuckDB oracles), but as
+    ONE ``F.expr`` parse instead of dozens of py4j round-trips per
+    lambda: building the nine-level Gopher projection through the
+    Column API cost ~1.9s of driver time per query construction,
+    ~50ms through the SQL parser.  The Column-based
+    :func:`_repetition_aggs` stays as the reference formulation (tests
+    compare the two paths)."""
+    run_chars = "acc.run * CAST(length(acc.prev) AS BIGINT)"
+    fin_top = f"greatest(acc.top, {run_chars})"
+    fin_dup = (
+        f"acc.dup + CASE WHEN acc.run >= 2 THEN {run_chars}"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    return f"""aggregate(
+      {sorted_arr_sql},
+      named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+                   'top', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT)),
+      (acc, x) -> named_struct(
+        'prev', x,
+        'run', CASE WHEN x = acc.prev THEN acc.run + 1
+                    ELSE CAST(1 AS BIGINT) END,
+        'top', CASE WHEN x = acc.prev THEN acc.top ELSE {fin_top} END,
+        'dup', CASE WHEN x = acc.prev THEN acc.dup ELSE {fin_dup} END),
+      acc -> named_struct('top', {fin_top}, 'dup', {fin_dup}))"""
+
+
+def _kgrams_sql(toks_name: str, k: int) -> str:
+    """SQL text of :func:`kgrams_col` over the column ``toks_name`` —
+    the same zip_with shift-chain (expression-safety invariant intact:
+    captured arrays are direct HOF children), one parse instead of
+    k lambda conversions."""
+    g = toks_name
+    for j in range(1, k):
+        g = (
+            f"zip_with({g}, slice({toks_name}, {j + 1}, "
+            f"greatest(size({toks_name}) - {j}, 0)), "
+            "(x, y) -> concat(x, ' ', y))"
+        )
+    return f"slice({g}, 1, greatest(size({toks_name}) - {k - 1}, 0))"
+
+
 def _with_repetition(
     out: DataFrame,
     text_col: str,
@@ -275,8 +321,15 @@ def _with_repetition(
     nchars = F.length(F.col(text_col))
     toks = F.col(toks_name)
     ok = F.size(toks) >= max(top_n, dup_n)
-    top_chars = _repetition_aggs(F.array_sort(kgrams_col(toks, top_n)))["top"]
-    dup_chars = _repetition_aggs(F.array_sort(kgrams_col(toks, dup_n)))["dup"]
+    # SQL-parsed construction (see _rep_aggs_sql): identical expression
+    # tree to _repetition_aggs(array_sort(kgrams_col(...))), built in
+    # one parse instead of dozens of py4j lambda conversions
+    top_chars = F.expr(
+        _rep_aggs_sql(f"array_sort({_kgrams_sql(toks_name, top_n)})")
+    )["top"]
+    dup_chars = F.expr(
+        _rep_aggs_sql(f"array_sort({_kgrams_sql(toks_name, dup_n)})")
+    )["dup"]
     return out.withColumn(
         f"top{top_n}gram_char_frac", F.when(ok, F.round(top_chars / nchars, 6))
     ).withColumn(
@@ -368,24 +421,28 @@ def gopher_repetition_full(
         .withColumn("_g", F.col("_t"))  # level 1: the tokens themselves
     )
     m = F.col("_m")
+    # Every level is built as ONE F.expr parse (see _rep_aggs_sql): the
+    # Column-API construction of this nine-level chain cost ~1.9s of
+    # driver-side py4j per query build; the parsed trees are identical.
     if 1 in ns:  # unigrams: the token array itself, no NULL tail to slice
-        out = out.withColumn("_agg1", _repetition_aggs(F.array_sort(F.col("_g"))))
+        out = out.withColumn("_agg1", F.expr(_rep_aggs_sql("array_sort(_g)")))
     for n in range(2, max(ns, default=1) + 1):
         # zip pads the shorter (shifted) side with NULL; concat
         # propagates it, so g_n carries a NULL tail of n-1 entries that
         # the per-level slice below drops (same shape as kgrams_col).
         out = out.withColumn(
             "_g",
-            F.zip_with(
-                F.col("_g"),
-                F.slice(F.col("_t"), n, F.greatest(m - (n - 1), F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
+            F.expr(
+                f"zip_with(_g, slice(_t, {n}, greatest(_m - {n - 1}, 0)), "
+                "(x, y) -> concat(x, ' ', y))"
             ),
         )
         if n in ns:
-            sliced = F.slice(F.col("_g"), 1, F.greatest(m - (n - 1), F.lit(0)))
             out = out.withColumn(
-                f"_agg{n}", _repetition_aggs(F.array_sort(sliced))
+                f"_agg{n}",
+                F.expr(_rep_aggs_sql(
+                    f"array_sort(slice(_g, 1, greatest(_m - {n - 1}, 0)))"
+                )),
             )
     cols = [F.col(id_col)]
     nchars = F.col("_nc")

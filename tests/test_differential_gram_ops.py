@@ -121,6 +121,58 @@ def test_kgrams_match_python_reference(spark, corpus):
             assert got[i] == want, (i, k, text)
 
 
+def test_sql_built_repetition_matches_column_built(spark, corpus):
+    """The r6 SQL-parsed constructors (_rep_aggs_sql/_kgrams_sql) must
+    be bit-identical to the Column-API reference formulations they
+    replace in the hot construction path."""
+    import pyspark.sql.functions as F
+
+    rows, df = corpus
+    toks = textstats.tokens_col("text")
+    base = df.select("doc_id", toks.alias("_t"))
+    for k in (1, 2, 5, 9):
+        col_built = base.select(
+            "doc_id",
+            textstats._repetition_aggs(
+                F.array_sort(textstats.kgrams_col(F.col("_t"), k))
+            ).alias("a"),
+        )
+        sql_built = base.select(
+            "doc_id",
+            F.expr(
+                textstats._rep_aggs_sql(
+                    f"array_sort({textstats._kgrams_sql('_t', k)})"
+                )
+            ).alias("a"),
+        )
+        got = {r.doc_id: (r.a.top, r.a.dup) for r in sql_built.collect()}
+        want = {r.doc_id: (r.a.top, r.a.dup) for r in col_built.collect()}
+        assert got == want, k
+
+
+def test_sql_built_minhash_sig_matches_column_built(spark, corpus):
+    """dedup._minhash_sql must be bit-identical to minhash_from_hashes
+    (including the empty-input all-NULL signature)."""
+    import pyspark.sql.functions as F
+
+    rows, df = corpus
+    hs = F.transform(
+        textstats.shingles_col("text", 3), lambda s: F.xxhash64(s)
+    )
+    base = df.select("doc_id", hs.alias("_sh")).union(
+        spark.createDataFrame([(10**6, [])], "doc_id long, _sh array<long>")
+    )
+    col_built = base.select(
+        "doc_id", dedup.minhash_from_hashes(F.col("_sh"), 16)
+    )
+    sql_built = base.select(
+        "doc_id", F.expr(dedup._minhash_sql("_sh", 16)).alias("minhash_sig")
+    )
+    got = {r.doc_id: r.minhash_sig for r in sql_built.collect()}
+    want = {r.doc_id: r.minhash_sig for r in col_built.collect()}
+    assert got == want
+
+
 def test_repetition_matches_python_reference(spark, corpus):
     rows, df = corpus
     got = {
