@@ -1474,7 +1474,7 @@ def search_bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_crawler_spark.operators.search import _field_bm25, corpus_stats
     from go_crawler_spark.functions.textstats import tokens_col
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"), how="hash")
     stats = corpus_stats(d, ["hash", "join"], ["text"])
     matched, s = _field_bm25(tokens_col("text"), ["hash", "join"], "text")
     return (
@@ -1530,7 +1530,7 @@ def search_or_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_crawler_spark.operators.search import _field_bm25, corpus_stats
     from go_crawler_spark.functions.textstats import tokens_col
 
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents"), how="hash")
     stats = corpus_stats(d, ["dup", "join"], ["text"])
     matched, s = _field_bm25(
         tokens_col("text"), ["dup", "join"], "text", operator="or"

@@ -587,98 +587,73 @@ def repetition_stats_merged(
     n = dup_n
     t = _toks_or(text_col, toks)
     base = df.select(F.col(id_col), t.alias("_t")).where(F.size("_t") >= n)
-    m = F.size(F.col("_t"))
-    ng = F.greatest(m - (n - 1), F.lit(0))
-    out = base.withColumn("_grams", kgrams_col(F.col("_t"), n))
+    # Every staged column below is built as ONE F.expr parse (the
+    # _rep_aggs_sql device): the Column-API construction of this chain
+    # cost ~0.7s of driver-side py4j per query build; the parsed trees
+    # are identical to the Column formulation, which remains in
+    # :func:`merged_dup_coverage_col` as the tested reference.
+    ng = f"greatest(size(_t) - {n - 1}, 0)"
+    out = base.withColumn("_grams", F.expr(_kgrams_sql("_t", n)))
     # sorted (gram, original-index) structs: duplicated occurrences are
     # sorted-neighbors (step 1 of merged_dup_coverage_col)
     out = out.withColumn(
         "_tagged",
-        F.array_sort(
-            F.zip_with(
-                F.col("_grams"),
-                F.sequence(F.lit(0), ng - 1),
-                lambda g, i: F.struct(g.alias("g"), i.alias("i")),
-            )
+        F.expr(
+            f"array_sort(zip_with(_grams, sequence(0, {ng} - 1), "
+            "(g, i) -> named_struct('g', g, 'i', i)))"
         ),
     )
     # neighbor-equality against the array's own shift
     out = out.withColumn(
         "_wn",
-        F.zip_with(
-            F.col("_tagged"),
-            F.slice(F.col("_tagged"), 2, F.greatest(ng - 1, F.lit(0))),
-            lambda a, b: F.struct(
-                a["g"].alias("g"),
-                a["i"].alias("i"),
-                F.coalesce(a["g"] == b["g"], F.lit(False)).alias("eq_next"),
-            ),
+        F.expr(
+            f"zip_with(_tagged, slice(_tagged, 2, greatest({ng} - 1, 0)), "
+            "(a, b) -> named_struct('g', a.g, 'i', a.i, "
+            "'eq_next', coalesce(a.g = b.g, false)))"
         ),
     )
     # dup flag = equal to either sorted-neighbor; carry the original idx
     out = out.withColumn(
         "_fs",
-        F.zip_with(
-            F.slice(F.col("_wn"), 1, ng),
-            F.concat(
-                F.array(F.lit(None).cast("struct<g:string,i:int,eq_next:boolean>")),
-                F.slice(F.col("_wn"), 1, F.greatest(ng - 1, F.lit(0))),
-            ),
-            lambda a, p: F.struct(
-                a["i"].alias("i"),
-                (a["eq_next"] | F.coalesce(p["eq_next"], F.lit(False))).alias("dup"),
-            ),
+        F.expr(
+            f"zip_with(slice(_wn, 1, {ng}), "
+            "concat(array(CAST(NULL AS "
+            "struct<g:string,i:int,eq_next:boolean>)), "
+            f"slice(_wn, 1, greatest({ng} - 1, 0))), "
+            "(a, p) -> named_struct('i', a.i, "
+            "'dup', a.eq_next OR coalesce(p.eq_next, false)))"
         ),
     )
     # scatter back to document order (step 2), then the single
     # O(1)-accumulator interval-union pass (step 3)
     out = out.withColumn(
-        "_flags", F.transform(F.array_sort(F.col("_fs")), lambda s: s["dup"])
+        "_flags", F.expr("transform(array_sort(_fs), s -> s.dup)")
     )
-    toklens = F.transform(F.col("_t"), lambda x: F.length(x))
-    gramlens = F.transform(F.col("_grams"), lambda g: F.length(g))
-    data = F.zip_with(
-        F.zip_with(
-            F.col("_flags"),
-            F.slice(toklens, 1, ng),
-            lambda fl, tl: F.struct(fl.alias("dup"), tl.alias("tl")),
-        ),
-        gramlens,
-        lambda a, gl: F.struct(
-            a["dup"].alias("dup"), a["tl"].alias("tl"), gl.alias("gl")
-        ),
+    data = (
+        f"zip_with(zip_with(_flags, slice(transform(_t, x -> length(x)), 1, {ng}), "
+        "(fl, tl) -> named_struct('dup', fl, 'tl', tl)), "
+        "transform(_grams, g -> length(g)), "
+        "(a, gl) -> named_struct('dup', a.dup, 'tl', a.tl, 'gl', gl))"
     )
-    init = F.struct(
-        F.lit(0).cast("long").alias("pos"),
-        F.lit(0).cast("long").alias("last_end"),
-        F.lit(0).cast("long").alias("covered"),
-    )
-
-    def step(acc: Column, x: Column) -> Column:
-        end = acc["pos"] + x["gl"].cast("long")
-        add = F.when(
-            x["dup"],
-            F.greatest(
-                end - F.greatest(acc["pos"], acc["last_end"]), F.lit(0).cast("long")
-            ),
-        ).otherwise(F.lit(0).cast("long"))
-        return F.struct(
-            (acc["pos"] + x["tl"].cast("long") + 1).alias("pos"),
-            F.when(x["dup"], F.greatest(acc["last_end"], end))
-            .otherwise(acc["last_end"])
-            .alias("last_end"),
-            (acc["covered"] + add).alias("covered"),
-        )
-
-    covered = F.aggregate(data, init, step, lambda acc: acc["covered"])
-    stream_len = (
-        F.aggregate(
-            F.col("_t"),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.length(x).cast("long"),
-        )
-        + F.size("_t").cast("long")
-        - 1
+    end = "acc.pos + CAST(x.gl AS BIGINT)"
+    covered = F.expr(f"""aggregate(
+      {data},
+      named_struct('pos', CAST(0 AS BIGINT), 'last_end', CAST(0 AS BIGINT),
+                   'covered', CAST(0 AS BIGINT)),
+      (acc, x) -> named_struct(
+        'pos', acc.pos + CAST(x.tl AS BIGINT) + 1,
+        'last_end', CASE WHEN x.dup
+                         THEN greatest(acc.last_end, {end})
+                         ELSE acc.last_end END,
+        'covered', acc.covered + CASE WHEN x.dup
+          THEN greatest({end} - greatest(acc.pos, acc.last_end),
+                        CAST(0 AS BIGINT))
+          ELSE CAST(0 AS BIGINT) END),
+      acc -> acc.covered)""")
+    stream_len = F.expr(
+        "aggregate(_t, CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + CAST(length(x) AS BIGINT))"
+        " + CAST(size(_t) AS BIGINT) - 1"
     )
     return out.select(
         id_col,
