@@ -93,11 +93,24 @@ def train_nb_quality(
     # all-NULL logits downstream (default mode) or a runtime division
     # error (ANSI) long after training "succeeded" — mirror the eager
     # validation in mixture_rates/gumbel_topk (r4 ADVICE).  limit(1)
-    # probes stop at the first row, so this does not rescan the corpora.
-    for cls, docs, occ in (("pos", pos, p_occ), ("neg", neg, n_occ)):
-        if docs.limit(1).count() == 0:
+    # probes stop at the first row, so this does not rescan the corpora;
+    # the four probes union into ONE Spark job (r6 — four sequential
+    # limit-count jobs were a fixed ~0.4s of every training build),
+    # with the original check precedence preserved below.
+    probe = pos.limit(1).select(F.lit("pos_docs").alias("_k"))
+    for tag, frame in (
+        ("pos_occ", p_occ), ("neg_docs", neg), ("neg_occ", n_occ)
+    ):
+        probe = probe.unionByName(
+            frame.limit(1).select(F.lit(tag).alias("_k"))
+        )
+    present = {r["_k"] for r in probe.collect()}
+    for cls, dk, ok in (
+        ("pos", "pos_docs", "pos_occ"), ("neg", "neg_docs", "neg_occ")
+    ):
+        if dk not in present:
             raise ValueError(f"{cls} corpus has zero documents")
-        if occ.limit(1).count() == 0:
+        if ok not in present:
             raise ValueError(
                 f"{cls} corpus has zero token occurrences "
                 f"(all-empty {text_col!r}?)"

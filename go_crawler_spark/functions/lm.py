@@ -74,7 +74,16 @@ def train_bigram_lm(
     distinct tokens (both sides), the V of the smoothing floor."""
     pairs = _bigram_pairs(df, text_col, id_col)
     bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    unigrams = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c"))
+    # c(w1) == sum_w2 c(w1, w2) EXACTLY (both count the same bigram
+    # occurrences, grouped differently — integer sums), so the context
+    # counts re-aggregate the vocab-sized bigram table instead of
+    # re-exploding the corpus: one corpus pass saved (r6, guide §2.3
+    # "aggregate before you shuffle"); Catalyst's exchange reuse shares
+    # the bigram aggregation between this and the score join.  The
+    # vocab count keeps its own token explode — single-token documents
+    # contribute vocabulary but no bigram, so it is NOT derivable from
+    # the pair table.
+    unigrams = bigrams.groupBy("w1").agg(F.sum("c").alias("c"))
     toks = df.select(F.explode(tokens_col(text_col)).alias("w"))
     vocab = toks.agg(F.count_distinct("w").alias("v"))
     return {"bigrams": bigrams, "unigrams": unigrams, "vocab": vocab}
